@@ -1,0 +1,188 @@
+"""Datasets.
+
+Capability parity with reference `passl/data/dataset/`:
+`ImageFolder` (imagefolder_dataset.py:26-199), `ImageNetDataset`
+(imagenet_dataset.py:23-55, anno-list file), `CommonDataset`
+(common_dataset.py), `FewShotDataset` (fewshot_dataset.py:24, 1%/10%
+semi-sup lists), `SwAVMultiCropDataset` (swavmulticrop_datatset.py:
+32-76), plus CIFAR-10 (configs/simclr_r18_cifar10) and a synthetic
+dataset (the TPU-world replacement for mounting /passl_data in CI —
+deterministic fake ImageNet for perf/golden tests).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .transforms import build_transform
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm", ".tif", ".tiff")
+
+
+class Dataset:
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, idx):
+        raise NotImplementedError
+
+
+class ImageFolder(Dataset):
+    """class-per-subdir layout (reference imagefolder_dataset.py)."""
+
+    def __init__(self, root: str, transform=None, with_label: bool = True):
+        self.root = root
+        self.transform = build_transform(transform)
+        self.with_label = with_label
+        classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(_IMG_EXTS):
+                    self.samples.append((os.path.join(cdir, fn), self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _load(self, path):
+        from PIL import Image
+
+        with open(path, "rb") as f:
+            img = Image.open(f)
+            return img.convert("RGB")
+
+    def __getitem__(self, idx):
+        path, label = self.samples[idx]
+        img = self.transform(self._load(path))
+        return (img, label) if self.with_label else img
+
+
+class ImageNetDataset(ImageFolder):
+    """Annotation-list dataset: `<rel_path> <label>` per line
+    (reference imagenet_dataset.py:23-55)."""
+
+    def __init__(self, image_root: str, cls_label_path: str, transform=None, with_label: bool = True):
+        self.root = image_root
+        self.transform = build_transform(transform)
+        self.with_label = with_label
+        self.samples = []
+        with open(cls_label_path) as f:
+            for line in f:
+                parts = line.strip().split(" ")
+                if not parts or not parts[0]:
+                    continue
+                label = int(parts[1]) if len(parts) > 1 else -1
+                self.samples.append((os.path.join(image_root, parts[0]), label))
+
+
+class FewShotDataset(ImageNetDataset):
+    """1%/10% semi-supervised split lists (reference fewshot_dataset.py)."""
+
+
+class CIFAR10(Dataset):
+    """CIFAR-10 from the standard python pickle batches (no download;
+    the reference's smallest config is simclr_r18_cifar10)."""
+
+    def __init__(self, root: str, mode: str = "train", transform=None, with_label: bool = True):
+        self.transform = build_transform(transform)
+        self.with_label = with_label
+        files = [f"data_batch_{i}" for i in range(1, 6)] if mode == "train" else ["test_batch"]
+        base = root
+        sub = os.path.join(root, "cifar-10-batches-py")
+        if os.path.isdir(sub):
+            base = sub
+        data, labels = [], []
+        for fn in files:
+            with open(os.path.join(base, fn), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            data.append(d[b"data"])
+            labels.extend(d[b"labels"])
+        self.data = np.concatenate(data).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        self.labels = np.asarray(labels, np.int64)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        img = Image.fromarray(self.data[idx])
+        img = self.transform(img)
+        return (img, int(self.labels[idx])) if self.with_label else img
+
+
+class SyntheticDataset(Dataset):
+    """Deterministic fake data for CI/perf (replaces /passl_data mounts).
+    Generates fixed-seed uint8 images; `two_views`/`multi_crop` mirror
+    the SSL dataset wrappers so any pipeline can run synthetically."""
+
+    def __init__(
+        self,
+        size: int = 1024,
+        image_size: int = 224,
+        num_classes: int = 1000,
+        transform=None,
+        with_label: bool = True,
+        channels: int = 3,
+    ):
+        self.size = size
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.transform = build_transform(transform)
+        self.with_label = with_label
+        self.channels = channels
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        rs = np.random.RandomState(idx % 4096)
+        arr = rs.randint(0, 256, (self.image_size, self.image_size, self.channels), np.uint8)
+        img = Image.fromarray(arr)
+        img = self.transform(img)
+        label = idx % self.num_classes
+        return (img, label) if self.with_label else img
+
+
+class SwAVMultiCropDataset(Dataset):
+    """Multi-crop wrapper: per-resolution transform stacks (reference
+    swavmulticrop_datatset.py:32-76). Returns a list of crops grouped
+    by resolution: [crops_res1(n1), crops_res2(n2), ...]."""
+
+    def __init__(self, dataset: Dataset, num_crops: Sequence[int], transforms: Sequence[Any]):
+        assert len(num_crops) == len(transforms)
+        self.dataset = dataset
+        self.num_crops = list(num_crops)
+        self.transforms = [build_transform(t) for t in transforms]
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        item = self.dataset[idx]
+        img = item[0] if isinstance(item, tuple) else item
+        crops = []
+        for n, t in zip(self.num_crops, self.transforms):
+            for _ in range(n):
+                crops.append(t(img))
+        return crops
+
+
+DATASETS = {
+    "ImageFolder": ImageFolder,
+    "ImageNetDataset": ImageNetDataset,
+    "FewShotDataset": FewShotDataset,
+    "CIFAR10": CIFAR10,
+    "Cifar10": CIFAR10,
+    "SyntheticDataset": SyntheticDataset,
+    "SwAVMultiCropDataset": SwAVMultiCropDataset,
+}

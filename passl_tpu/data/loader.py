@@ -1,0 +1,206 @@
+"""Host data loading: samplers, collate, multiprocess prefetch loader.
+
+Capability parity with reference `passl/data/__init__.py:25-83`
+(build_dataloader: dataset + DistributedBatchSampler + paddle.io
+DataLoader with N CPU workers + batch collate) and
+`passl/data/sampler/repeatedaug_sampler.py:25-78`.
+
+TPU-native shape: ONE process per host feeds the *global* batch for its
+addressable shard; `jax.make_array_from_process_local_data` assembles
+the sharded global array (replacing DistributedBatchSampler's per-rank
+slicing + DALI). Workers are a multiprocessing pool doing decode+aug;
+a background thread keeps `prefetch` batches in flight so the device
+never waits on the host (SURVEY §7 hard part 6).
+"""
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from typing import Any, Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(batch: Sequence[Any]):
+    """Stack samples: tuples → tuple of stacks, lists (multi-crop) →
+    list of stacks, dicts → dict of stacks."""
+    first = batch[0]
+    if isinstance(first, (tuple,)):
+        return tuple(default_collate([b[i] for b in batch]) for i in range(len(first)))
+    if isinstance(first, list):
+        return [default_collate([b[i] for b in batch]) for i in range(len(first))]
+    if isinstance(first, dict):
+        return {k: default_collate([b[k] for b in batch]) for k in first}
+    if isinstance(first, (int, np.integer)):
+        return np.asarray(batch, np.int32)
+    if isinstance(first, (float, np.floating)):
+        return np.asarray(batch, np.float32)
+    return np.stack([np.asarray(b) for b in batch])
+
+
+class DistributedBatchSampler:
+    """Epoch-shuffled batch index sampler over this process's shard.
+
+    With P host processes, process p owns indices p::P (padded to equal
+    length like the reference's DistributedBatchSampler so every process
+    yields the same number of batches)."""
+
+    def __init__(
+        self,
+        dataset_len: int,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_replicas: int = 1,
+        rank: int = 0,
+    ):
+        self.dataset_len = dataset_len
+        self.batch_size = batch_size  # per-process batch size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.epoch = 0
+        self.num_samples = int(math.ceil(dataset_len / num_replicas))
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        if self.shuffle:
+            g = np.random.RandomState(self.seed + self.epoch)
+            idx = g.permutation(self.dataset_len)
+        else:
+            idx = np.arange(self.dataset_len)
+        total = self.num_samples * self.num_replicas
+        if total > len(idx):  # pad by wrapping (reference padding semantics)
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
+        return idx[self.rank : total : self.num_replicas]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = self._indices()
+        n_full = len(idx) // self.batch_size
+        for i in range(n_full):
+            yield idx[i * self.batch_size : (i + 1) * self.batch_size]
+        if not self.drop_last and n_full * self.batch_size < len(idx):
+            yield idx[n_full * self.batch_size :]
+
+    def __len__(self):
+        if self.drop_last:
+            return self.num_samples // self.batch_size
+        return int(math.ceil(self.num_samples / self.batch_size))
+
+
+class RepeatedAugSampler(DistributedBatchSampler):
+    """3x repeated augmentation (reference repeatedaug_sampler.py:25-78):
+    each selected image appears `num_repeats` times in the epoch stream,
+    stream truncated to the usual epoch length."""
+
+    def __init__(self, *args, num_repeats: int = 3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_repeats = num_repeats
+
+    def _indices(self) -> np.ndarray:
+        if self.shuffle:
+            g = np.random.RandomState(self.seed + self.epoch)
+            idx = g.permutation(self.dataset_len)
+        else:
+            idx = np.arange(self.dataset_len)
+        idx = np.repeat(idx, self.num_repeats)
+        total = self.num_samples * self.num_replicas
+        if total > len(idx):
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
+        return idx[self.rank : total : self.num_replicas]
+
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(idx: int):
+    return _WORKER_DATASET[idx]
+
+
+class DataLoader:
+    """Iterable of collated numpy batches with worker pool + prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_sampler: DistributedBatchSampler,
+        num_workers: int = 0,
+        collate_fn: Callable = default_collate,
+        prefetch: int = 2,
+        batch_transform: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.num_workers = num_workers
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+        self.batch_transform = batch_transform
+        self._pool = None
+
+    def set_epoch(self, epoch: int):
+        self.batch_sampler.set_epoch(epoch)
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init, initargs=(self.dataset,)
+            )
+        return self._pool
+
+    def _fetch_batch(self, indices: np.ndarray):
+        pool = self._get_pool()
+        if pool is not None:
+            samples = pool.map(_worker_fetch, [int(i) for i in indices])
+        else:
+            samples = [self.dataset[int(i)] for i in indices]
+        batch = self.collate_fn(samples)
+        if self.batch_transform is not None:
+            batch = self.batch_transform(batch)
+        return batch
+
+    def __iter__(self):
+        batches = list(self.batch_sampler)
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._fetch_batch(b)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._fetch_batch(b))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None

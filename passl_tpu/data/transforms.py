@@ -1,0 +1,392 @@
+"""Host-side image transforms (PIL/numpy), NHWC float32 output.
+
+Capability parity with reference `passl/data/preprocess/basic_transforms.py`:
+DecodeImage(:101), ResizeImage(:200)/Resize(:235), CenterCrop(:326),
+RandCropImage(:373), RandomResizedCrop(:473), RandFlipImage(:665),
+NormalizeImage(:707), ToCHWImage(:756 — here NHWC is the native layout,
+so ToCHW becomes a no-op marker kept for config compat), ColorJitter
+(:770 with prob), RandomErasing(:808), RandomApply(:859),
+RandomGrayscale(:872), SimCLRGaussianBlur(:909), BYOLSolarize(:929),
+TwoViewsTransform(:88), Compose(:70), MAERandCropImage(:635).
+
+Aug parity notes (SURVEY §7 hard part 3): RandomResizedCrop uses the
+torchvision scale/ratio log-uniform sampling; resize defaults to PIL
+bilinear/bicubic to match; ColorJitter applies brightness/contrast/
+saturation/hue in random order like torchvision.
+
+These run on CPU workers. The TPU-native fused path (uint8 batch →
+device, aug on device) lives in `passl_tpu/ops/augment.py`.
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+try:
+    from PIL import Image, ImageFilter, ImageOps
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _HAS_PIL = False
+
+_PIL_INTERP = {}
+if _HAS_PIL:
+    _PIL_INTERP = {
+        "nearest": Image.NEAREST,
+        "bilinear": Image.BILINEAR,
+        "bicubic": Image.BICUBIC,
+        "lanczos": Image.LANCZOS,
+        "random": None,  # chosen per call
+    }
+
+
+class Compose:
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+class TwoViewsTransform:
+    """Apply two (possibly different) pipelines → (view1, view2)."""
+
+    def __init__(self, base_transform1: Callable, base_transform2: Optional[Callable] = None):
+        self.t1 = base_transform1
+        self.t2 = base_transform2 or base_transform1
+
+    def __call__(self, x):
+        return self.t1(x), self.t2(x)
+
+
+class DecodeImage:
+    """bytes/ndarray/PIL → PIL RGB."""
+
+    def __init__(self, to_rgb: bool = True, channel_first: bool = False, backend: str = "pil"):
+        self.to_rgb = to_rgb
+
+    def __call__(self, img):
+        if isinstance(img, bytes):
+            import io as _io
+
+            img = Image.open(_io.BytesIO(img))
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(img.astype(np.uint8))
+        if self.to_rgb and img.mode != "RGB":
+            img = img.convert("RGB")
+        return img
+
+
+def _interp(interpolation: str):
+    if interpolation == "random":
+        return random.choice([Image.BILINEAR, Image.BICUBIC])
+    return _PIL_INTERP.get(interpolation, Image.BILINEAR)
+
+
+class Resize:
+    def __init__(self, size: Union[int, Sequence[int]], interpolation: str = "bilinear"):
+        self.size = size
+        self.interpolation = interpolation
+
+    def __call__(self, img):
+        interp = _interp(self.interpolation)
+        if isinstance(self.size, int):
+            w, h = img.size
+            if w < h:
+                ow, oh = self.size, int(self.size * h / w)
+            else:
+                ow, oh = int(self.size * w / h), self.size
+            return img.resize((ow, oh), interp)
+        return img.resize((self.size[1], self.size[0]), interp)
+
+
+ResizeImage = Resize
+
+
+class CenterCrop:
+    def __init__(self, size: Union[int, Sequence[int]]):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, img):
+        w, h = img.size
+        th, tw = self.size
+        x1 = int(round((w - tw) / 2.0))
+        y1 = int(round((h - th) / 2.0))
+        return img.crop((x1, y1, x1 + tw, y1 + th))
+
+
+class RandomResizedCrop:
+    """torchvision-semantics RRC (reference RandomResizedCrop:473)."""
+
+    def __init__(
+        self,
+        size: Union[int, Sequence[int]],
+        scale: Tuple[float, float] = (0.08, 1.0),
+        ratio: Tuple[float, float] = (3.0 / 4, 4.0 / 3),
+        interpolation: str = "bilinear",
+    ):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.scale = scale
+        self.ratio = ratio
+        self.interpolation = interpolation
+
+    def get_params(self, img):
+        w, h = img.size
+        area = w * h
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            target_area = area * random.uniform(*self.scale)
+            aspect = math.exp(random.uniform(*log_ratio))
+            cw = int(round(math.sqrt(target_area * aspect)))
+            ch = int(round(math.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                x = random.randint(0, w - cw)
+                y = random.randint(0, h - ch)
+                return x, y, cw, ch
+        # fallback: center crop at in-range aspect
+        in_ratio = w / h
+        if in_ratio < self.ratio[0]:
+            cw, ch = w, int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            ch, cw = h, int(round(h * self.ratio[1]))
+        else:
+            cw, ch = w, h
+        return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+    def __call__(self, img):
+        x, y, cw, ch = self.get_params(img)
+        img = img.crop((x, y, x + cw, y + ch))
+        return img.resize((self.size[1], self.size[0]), _interp(self.interpolation))
+
+
+class RandCropImage(RandomResizedCrop):
+    """Alias with reference naming (RandCropImage:373)."""
+
+
+class MAERandCropImage(RandomResizedCrop):
+    """MAE variant: scale (0.2, 1.0) default, bicubic."""
+
+    def __init__(self, size, scale=(0.2, 1.0), ratio=(3.0 / 4, 4.0 / 3), interpolation="bicubic"):
+        super().__init__(size, scale, ratio, interpolation)
+
+
+class RandFlipImage:
+    def __init__(self, flip_code: int = 1, prob: float = 0.5):
+        self.flip_code = flip_code  # 1: horizontal (cv2 convention)
+        self.prob = prob
+
+    def __call__(self, img):
+        if random.random() < self.prob:
+            if self.flip_code == 1:
+                return img.transpose(Image.FLIP_LEFT_RIGHT)
+            return img.transpose(Image.FLIP_TOP_BOTTOM)
+        return img
+
+
+RandomHorizontalFlip = RandFlipImage
+
+
+class ColorJitter:
+    """brightness/contrast/saturation/hue in random order, with
+    an apply-probability (reference ColorJitter:770)."""
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0, prob: float = 1.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.prob = prob
+
+    def _jitter(self, img):
+        from PIL import ImageEnhance
+
+        ops = []
+        if self.brightness > 0:
+            f = random.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+        if self.contrast > 0:
+            f = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+            ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f))
+        if self.saturation > 0:
+            f = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+            ops.append(lambda im: ImageEnhance.Color(im).enhance(f))
+        if self.hue > 0:
+            h = random.uniform(-self.hue, self.hue)
+
+            def hue_op(im, h=h):
+                hsv = np.array(im.convert("HSV"), dtype=np.uint8)
+                hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(h * 255)) % 256
+                return Image.fromarray(hsv, "HSV").convert("RGB")
+
+            ops.append(hue_op)
+        random.shuffle(ops)
+        for op in ops:
+            img = op(img)
+        return img
+
+    def __call__(self, img):
+        if random.random() < self.prob:
+            return self._jitter(img)
+        return img
+
+
+class RandomApply:
+    def __init__(self, transforms: Sequence[Callable], p: float = 0.5):
+        self.transforms = list(transforms)
+        self.p = p
+
+    def __call__(self, img):
+        if random.random() < self.p:
+            for t in self.transforms:
+                img = t(img)
+        return img
+
+
+class RandomGrayscale:
+    def __init__(self, p: float = 0.2, prob: Optional[float] = None):
+        self.p = p if prob is None else prob
+
+    def __call__(self, img):
+        if random.random() < self.p:
+            return ImageOps.grayscale(img).convert("RGB")
+        return img
+
+
+class SimCLRGaussianBlur:
+    """Gaussian blur with sigma ~ U(sigma_min, sigma_max) applied with
+    probability p (reference SimCLRGaussianBlur:909)."""
+
+    def __init__(self, sigma: Sequence[float] = (0.1, 2.0), p: float = 0.5, _PIL: bool = True):
+        self.sigma = tuple(sigma)
+        self.p = p
+
+    def __call__(self, img):
+        if random.random() < self.p:
+            s = random.uniform(*self.sigma)
+            return img.filter(ImageFilter.GaussianBlur(radius=s))
+        return img
+
+
+GaussianBlur = SimCLRGaussianBlur
+
+
+class BYOLSolarize:
+    def __init__(self, threshold: int = 128, p: float = 0.2):
+        self.threshold = threshold
+        self.p = p
+
+    def __call__(self, img):
+        if random.random() < self.p:
+            return ImageOps.solarize(img, self.threshold)
+        return img
+
+
+Solarize = BYOLSolarize
+
+
+class RandomErasing:
+    """timm-style random erasing on the float array (reference :808).
+    Operates post-normalization on HWC float arrays."""
+
+    def __init__(self, prob: float = 0.25, scale=(0.02, 1 / 3), ratio=(0.3, 3.3), mode: str = "pixel", **_):
+        self.prob = prob
+        self.scale = scale
+        self.ratio = ratio
+        self.mode = mode
+
+    def __call__(self, arr):
+        if not isinstance(arr, np.ndarray) or random.random() > self.prob:
+            return arr
+        h, w, c = arr.shape
+        area = h * w
+        for _ in range(10):
+            target = area * random.uniform(*self.scale)
+            aspect = math.exp(random.uniform(math.log(self.ratio[0]), math.log(self.ratio[1])))
+            eh = int(round(math.sqrt(target * aspect)))
+            ew = int(round(math.sqrt(target / aspect)))
+            if eh < h and ew < w:
+                y = random.randint(0, h - eh)
+                x = random.randint(0, w - ew)
+                if self.mode == "pixel":
+                    arr[y : y + eh, x : x + ew, :] = np.random.randn(eh, ew, c).astype(arr.dtype)
+                else:
+                    arr[y : y + eh, x : x + ew, :] = 0
+                return arr
+        return arr
+
+
+class NormalizeImage:
+    """PIL/uint8 → float32 HWC normalized (reference NormalizeImage:707)."""
+
+    def __init__(
+        self,
+        scale: Union[str, float] = 1.0 / 255.0,
+        mean: Sequence[float] = (0.485, 0.456, 0.406),
+        std: Sequence[float] = (0.229, 0.224, 0.225),
+        order: str = "hwc",
+        output_fp16: bool = False,
+    ):
+        if isinstance(scale, str):
+            scale = eval(scale)
+        self.scale = float(scale)
+        self.mean = np.asarray(mean, np.float32).reshape(1, 1, -1)
+        self.std = np.asarray(std, np.float32).reshape(1, 1, -1)
+        self.dtype = np.float16 if output_fp16 else np.float32
+
+    def __call__(self, img):
+        arr = np.asarray(img, np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None].repeat(3, -1)
+        arr = (arr * self.scale - self.mean) / self.std
+        return arr.astype(self.dtype)
+
+
+class ToCHWImage:
+    """Kept for config compatibility; the framework is NHWC-native, so
+    this marks the end of the PIL stage without transposing."""
+
+    def __call__(self, img):
+        if not isinstance(img, np.ndarray):
+            img = np.asarray(img, np.float32)
+        return img
+
+
+class ToRGB:
+    def __call__(self, img):
+        return img.convert("RGB") if img.mode != "RGB" else img
+
+
+TRANSFORMS = {
+    k: v
+    for k, v in globals().items()
+    if isinstance(v, type) and callable(getattr(v, "__call__", None)) and not k.startswith("_")
+}
+
+
+def build_transform(cfg) -> Callable:
+    """cfg: list of {OpName: {kwargs}} dicts (reference YAML surface)."""
+    if cfg is None:
+        return lambda x: x
+    if callable(cfg):
+        return cfg
+    ops: List[Callable] = []
+    for item in cfg:
+        if isinstance(item, str):
+            ops.append(TRANSFORMS[item]())
+            continue
+        for opname, kwargs in item.items():
+            kwargs = dict(kwargs or {})
+            if opname in ("TwoViewsTransform",):
+                t1 = build_transform(kwargs.pop("base_transform1", kwargs.pop("transforms", None)))
+                t2 = kwargs.pop("base_transform2", None)
+                ops.append(TwoViewsTransform(t1, build_transform(t2) if t2 else None))
+            elif opname in ("RandomApply",):
+                inner = build_transform(kwargs.pop("transforms"))
+                ops.append(RandomApply([inner], **kwargs))
+            else:
+                ops.append(TRANSFORMS[opname](**kwargs))
+    return Compose(ops)

