@@ -17,3 +17,4 @@ from .mesh import (  # noqa: F401
     set_mesh,
     tp_size,
 )
+from .sharding import VIT_TP_RULES, partition_params, shard_train_state  # noqa: F401

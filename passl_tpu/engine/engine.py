@@ -126,15 +126,18 @@ class Engine:
             model_cfg["dtype"] = self.policy.compute_dtype
         self.model = build_model(model_cfg)
 
-        # ---- init variables
+        # ---- init variables (jitted: one XLA program instead of
+        # op-by-op dispatch — critical on tunneled platforms)
+        import functools
+
         rng = jax.random.PRNGKey(self.seed)
         init_rngs = {"params": rng, "dropout": rng, "shuffle": rng, "masking": rng, "aug": rng, "mixup": rng}
         sample = self._sample_batch()
         if self.criterion is None and self.train_dataloader is not None:
-            variables = self.model.init(init_rngs, sample, train=True)
+            variables = jax.jit(functools.partial(self.model.init, train=True))(init_rngs, sample)
         else:
             x = sample[0] if isinstance(sample, (tuple, list)) else sample
-            variables = self.model.init(init_rngs, x, train=(mode == "train"))
+            variables = jax.jit(functools.partial(self.model.init, train=(mode == "train")))(init_rngs, x)
         params = variables["params"]
         self.model_state = {k: v for k, v in variables.items() if k != "params"}
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -154,6 +157,10 @@ class Engine:
             self.grad_clip = ClipGradByGlobalNorm(**gc_kwargs)
         frozen = list(self.model.frozen_patterns()) if hasattr(self.model, "frozen_patterns") else []
         num_layers = int(model_cfg.get("depth", 0))
+        if hasattr(self.model, "optimizer_overrides"):
+            overrides = self.model.optimizer_overrides()
+            if overrides:
+                opt_cfg["param_group"] = list(opt_cfg.get("param_group", []) or []) + overrides
         self.optimizer = build_optimizer(opt_cfg, params, frozen_patterns=frozen, num_layers=num_layers)
         logger.info(f"optimizer groups: {self.optimizer.describe()}")
 
@@ -166,8 +173,27 @@ class Engine:
         if hasattr(self.model, "ema_map"):
             for src, dst, ema_cfg in self.model.ema_map():
                 self.ema_pairs.append((src, dst, ema_momentum_schedule(ema_cfg, self.total_steps)))
+                # init-sync: target starts as a copy of the online tower
+                # (reference param_k.set_value(param_q), moco.py:69-71)
+                params = dict(params)
+                params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
         ema_cfg = config.get("EMA", None)
         self.full_ema_decay = float(ema_cfg["decay"]) if ema_cfg else None
+
+        # ---- post-step param transforms (SwAV prototype renorm etc.)
+        self.param_transforms = list(self.model.param_transforms()) \
+            if hasattr(self.model, "param_transforms") else []
+        if self.param_transforms:
+            import re as _re
+
+            from flax import traverse_util as _tu
+
+            flat = _tu.flatten_dict(params, sep="/")
+            for pat, fn in self.param_transforms:
+                for p in list(flat):
+                    if _re.search(pat, p):
+                        flat[p] = fn(flat[p])
+            params = _tu.unflatten_dict(flat, sep="/")
 
         # ---- train state (replicated params for now; fsdp shards later)
         opt_state = self.optimizer.init(params)
@@ -190,6 +216,7 @@ class Engine:
                 accum_steps=self.accum_steps,
                 ema_pairs=self.ema_pairs,
                 full_ema_decay=self.full_ema_decay,
+                param_transforms=self.param_transforms,
             ),
             donate_argnums=0,
         )

@@ -93,8 +93,9 @@ class TrainingEpochLoop(_Loop):
             gbatch = e.shard_batch(batch)
             e.state, metrics = e.train_step(e.state, gbatch)
             if (i + 1) % e.print_batch_step == 0:
-                # force sync only at log boundaries
-                jax.block_until_ready(metrics["lr"])
+                # force sync only at log boundaries (log_line fetches the
+                # metric values; a value fetch is the only true barrier
+                # on tunneled platforms — block_until_ready may not wait)
                 self.time_info["batch_cost"].update((time.perf_counter() - tic))
                 self.log_line(epoch, i + 1, steps_per_epoch, metrics)
             else:

@@ -84,6 +84,7 @@ def make_train_step(
     ema_pairs: Sequence[Tuple[str, str, Callable]] = (),
     full_ema_decay: Optional[float] = None,
     extra_metrics_fn: Optional[Callable] = None,
+    param_transforms: Sequence[Tuple[str, Callable]] = (),
 ):
     """Build the pure train step.
 
@@ -155,6 +156,20 @@ def make_train_step(
 
         lr = lr_fn(state.step)
         new_params, new_opt_state = optimizer.apply(state.params, grads, state.opt_state, lr, state.step)
+
+        # post-update param transforms (e.g. SwAV prototype L2-renorm,
+        # reference swav.py prototypes weight normalization)
+        if param_transforms:
+            import re as _re
+
+            from flax import traverse_util as _tu
+
+            flat = _tu.flatten_dict(new_params, sep="/")
+            for pat, fn in param_transforms:
+                for path in list(flat):
+                    if _re.search(pat, path):
+                        flat[path] = fn(flat[path])
+            new_params = _tu.unflatten_dict(flat, sep="/")
 
         # momentum-encoder EMA pairs (post-update, reference order:
         # update_parameters inside forward — schedule uses same step)

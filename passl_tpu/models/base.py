@@ -42,6 +42,17 @@ class Model(nn.Module):
         (momentum encoders, frozen backbones in linear probes)."""
         return []
 
+    def optimizer_overrides(self) -> List[Dict[str, Any]]:
+        """Extra optimizer param_group entries (regex name + lr_scale /
+        weight_decay / freeze_steps), e.g. SwAV prototype freezing."""
+        return []
+
+    @staticmethod
+    def param_transforms() -> List[Tuple[str, Any]]:
+        """[(param_path_regex, fn)] applied to params after every
+        optimizer step (e.g. SwAV prototype L2 re-normalization)."""
+        return []
+
     @staticmethod
     def no_sync_patterns() -> List[str]:
         """Param paths whose grads must not be data-synced (unused under

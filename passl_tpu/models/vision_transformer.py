@@ -83,7 +83,9 @@ class VisionTransformer(Model):
         x = x + pos_embed.astype(x.dtype)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
 
-        dpr = [float(r) for r in jnp.linspace(0, self.drop_path_rate, self.depth)]
+        import numpy as _np
+
+        dpr = [float(r) for r in _np.linspace(0, self.drop_path_rate, self.depth)]
         for i in range(self.depth):
             x = Block(
                 num_heads=self.num_heads,

@@ -59,8 +59,11 @@ class SplitBatchNorm(nn.Module):
             y = (x - mean) / jnp.sqrt(var + self.epsilon)
         else:
             n = x.shape[0]
-            assert n % self.num_splits == 0, f"batch {n} % num_splits {self.num_splits} != 0"
-            xs = x.reshape(self.num_splits, n // self.num_splits, *x.shape[1:])
+            # tolerate tiny init batches: largest divisor <= num_splits
+            import math as _math
+
+            splits = _math.gcd(n, self.num_splits)
+            xs = x.reshape(splits, n // splits, *x.shape[1:])
             red = tuple(range(1, xs.ndim - 1))
             mean_s = jnp.mean(xs.astype(jnp.float32), axis=red, keepdims=True)
             var_s = jnp.var(xs.astype(jnp.float32), axis=red, keepdims=True)

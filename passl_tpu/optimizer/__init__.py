@@ -72,12 +72,13 @@ def build_optimizer(
     groups: List[Group] = []
     group_index: Dict[tuple, int] = {}
 
-    def get_group(gname: str, wd: float, lr_scale: float) -> int:
-        key = (gname, wd, lr_scale)
+    def get_group(gname: str, wd: float, lr_scale: float, freeze_steps: int = 0) -> int:
+        key = (gname, wd, lr_scale, freeze_steps)
         if key not in group_index:
             r = Frozen() if gname == "frozen" else rule
             group_index[key] = len(groups)
-            groups.append(Group(name=gname, rule=r, weight_decay=wd, lr_scale=lr_scale))
+            groups.append(Group(name=gname, rule=r, weight_decay=wd, lr_scale=lr_scale,
+                                freeze_steps=freeze_steps))
         return group_index[key]
 
     flat = traverse_util.flatten_dict(params, sep="/")
@@ -88,12 +89,14 @@ def build_optimizer(
             continue
         wd = base_wd
         lr_scale = 1.0
+        freeze_steps = 0
         gname = "default"
         # custom regex groups take precedence (reference group_params)
         for cg in custom_groups:
             if match_any(path, [cg["name"]]):
                 wd = float(cg.get("weight_decay", base_wd))
                 lr_scale = float(cg.get("lr_scale", 1.0))
+                freeze_steps = int(cg.get("freeze_steps", 0))
                 gname = cg["name"]
                 break
         if no_wd_names and match_any(path, no_wd_names):
@@ -106,6 +109,6 @@ def build_optimizer(
             lid = layer_id_from_path(path, num_layers)
             lr_scale *= float(layerwise_decay) ** (num_layers + 1 - lid)
             gname += f"|layer{lid}"
-        assignment[path] = get_group(gname, wd, lr_scale)
+        assignment[path] = get_group(gname, wd, lr_scale, freeze_steps)
 
     return ParamGroupOptimizer(groups, assignment)

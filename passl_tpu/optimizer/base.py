@@ -35,6 +35,9 @@ class Group:
     weight_decay: float = 0.0
     lr_scale: float = 1.0
     lr_fn: Optional[LrFn] = None  # per-group scheduler override
+    freeze_steps: int = 0  # lr forced to 0 while step < freeze_steps
+    # (expresses SwAV's freeze-prototypes-by-iter grad cancel,
+    #  reference models/swav.py:157-199, as a schedule gate)
 
 
 class ParamGroupOptimizer:
@@ -72,6 +75,8 @@ class ParamGroupOptimizer:
         for path, p in fp.items():
             g = self.groups[self.assignment[path]]
             glr = (g.lr_fn(step) if g.lr_fn is not None else lr) * g.lr_scale
+            if g.freeze_steps:
+                glr = glr * (step >= g.freeze_steps)
             np_, ns_ = g.rule.update(fg[path], opt_state[path], p, glr, g.weight_decay, step)
             new_p[path], new_s[path] = np_, ns_
         return self._unflat(new_p), new_s

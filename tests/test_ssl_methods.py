@@ -1,0 +1,161 @@
+"""SSL method zoo tests: MoCo, BYOL, SimSiam, SwAV semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from passl_tpu.core import TrainState
+from passl_tpu.engine.steps import ema_momentum_schedule, make_train_step
+from passl_tpu.models import build_model
+from passl_tpu.models.swav import sinkhorn_knopp
+from passl_tpu.optimizer import build_optimizer
+from passl_tpu.scheduler import build_lr_scheduler
+
+BACKBONE = {"name": "resnet18", "num_classes": 0, "with_pool": False, "cifar_stem": True}
+RNGS = ("params", "dropout", "shuffle", "aug")
+
+
+def _init(model, rng, batch, train=True):
+    import functools
+
+    rngs = {n: jax.random.fold_in(rng, i) for i, n in enumerate(RNGS)}
+    variables = jax.jit(functools.partial(model.init, train=train))(rngs, batch)
+    return variables["params"], {k: v for k, v in variables.items() if k != "params"}
+
+
+def _sync_pairs(params, model):
+    params = dict(params)
+    for src, dst, _ in model.ema_map():
+        params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
+    return params
+
+
+def _train(model, batch, steps=3, opt_cfg=None, lr=0.05):
+    rng = jax.random.PRNGKey(0)
+    params, model_state = _init(model, rng, batch)
+    if hasattr(model, "ema_map") and model.ema_map():
+        params = _sync_pairs(params, model)
+    frozen = model.frozen_patterns() if hasattr(model, "frozen_patterns") else []
+    opt = build_optimizer(opt_cfg or {"name": "Momentum", "momentum": 0.9}, params,
+                          frozen_patterns=frozen)
+    lr_fn = build_lr_scheduler({"name": "Constant", "learning_rate": lr}, 1, 1)
+    ema_pairs = [(s, d, ema_momentum_schedule(c, 100)) for s, d, c in model.ema_map()] \
+        if hasattr(model, "ema_map") else []
+    pt = model.param_transforms() if hasattr(model, "param_transforms") else []
+    state = TrainState.create(params, model_state, opt.init(params), rng)
+    step = jax.jit(make_train_step(model, opt, lr_fn, ema_pairs=ema_pairs, param_transforms=pt),
+                   donate_argnums=0)
+    losses = []
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    return state, losses
+
+
+def test_moco_queue_and_momentum(mesh):
+    model = build_model({
+        "name": "MoCo", "backbone": dict(BACKBONE, bn_splits=4),
+        "neck": {"name": "NonLinearNeckV1", "hid_channels": 256, "out_channels": 32},
+        "dim": 32, "K": 64, "m": 0.9, "T": 0.07,
+    })
+    rs = np.random.RandomState(0)
+    batch = (jnp.asarray(rs.rand(16, 32, 32, 3), jnp.float32),
+             jnp.asarray(rs.rand(16, 32, 32, 3), jnp.float32))
+    state, losses = _train(model, batch, steps=4)
+    assert np.isfinite(losses).all()
+    # queue pointer advanced: 4 steps x 16 keys mod 64
+    ptr = traverse_util.flatten_dict(state.model_state["ssl"], sep="/")
+    ptr_val = [v for k, v in ptr.items() if "queue_ptr" in k][0]
+    assert int(ptr_val) == (4 * 16) % 64
+    # queue columns are unit-norm (enqueued normalized keys)
+    q = [v for k, v in ptr.items() if k.endswith("queue")][0]
+    norms = np.linalg.norm(np.asarray(q), axis=0)
+    assert np.allclose(norms, 1.0, atol=1e-3)
+    # encoder_k must equal EMA trajectory, not be optimized: check that
+    # encoder_k != encoder_q (they drift apart but stay close)
+    fp = traverse_util.flatten_dict(state.params, sep="/")
+    dq = fp["encoder_q/backbone/conv1/kernel"]
+    dk = fp["encoder_k/backbone/conv1/kernel"]
+    assert not np.allclose(np.asarray(dq), np.asarray(dk))
+
+
+def test_byol_ema_target_tracks_online(mesh):
+    model = build_model({
+        "name": "BYOL", "backbone": BACKBONE,
+        "neck": {"name": "NonLinearNeckV2", "hid_channels": 128, "out_channels": 64},
+        "predictor": {"name": "NonLinearNeckV2", "hid_channels": 128, "out_channels": 64,
+                      "with_avg_pool": False},
+        "base_momentum": 0.9, "momentum_schedule": "fixed",
+    })
+    rs = np.random.RandomState(1)
+    batch = (jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32),
+             jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32))
+    state, losses = _train(model, batch, steps=3)
+    assert np.isfinite(losses).all()
+    assert 0.0 < losses[0] < 4.0  # 2-2cos in [0,4]
+
+
+def test_simsiam_loss_range(mesh):
+    model = build_model({
+        "name": "SimSiam", "backbone": BACKBONE,
+        "neck": {"name": "NonLinearNeckfc3", "hid_channels": 128, "out_channels": 64},
+        "predictor": {"name": "NonLinearNeckV2", "hid_channels": 64, "out_channels": 64,
+                      "with_avg_pool": False},
+    })
+    rs = np.random.RandomState(2)
+    batch = (jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32),
+             jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32))
+    state, losses = _train(model, batch, steps=3)
+    assert np.isfinite(losses).all()
+    assert -1.0 <= losses[-1] <= 0.1  # negative cosine in [-1, 0]
+    assert losses[-1] < losses[0]
+
+
+def test_sinkhorn_doubly_stochastic():
+    rs = np.random.RandomState(0)
+    scores = jnp.asarray(rs.randn(32, 8), jnp.float32)
+    q = np.asarray(sinkhorn_knopp(scores, epsilon=0.05, iterations=3))
+    # rows sum to ~1 (per-sample assignment distribution)
+    assert np.allclose(q.sum(axis=1), 1.0, atol=1e-3)
+    # with enough iterations the transport polytope is reached:
+    # columns balance to B/K (3 iters is the reference's approximation)
+    q50 = np.asarray(sinkhorn_knopp(scores, epsilon=0.05, iterations=50))
+    assert np.allclose(q50.sum(axis=0), 32 / 8, atol=0.05), q50.sum(axis=0)
+    assert np.allclose(q50.sum(axis=1), 1.0, atol=0.05)
+
+
+def test_swav_multicrop_and_prototype_norm(mesh):
+    model = build_model({
+        "name": "SwAV", "backbone": BACKBONE,
+        "neck": {"name": "SwAVNeck", "hid_channels": 128, "out_channels": 32},
+        "dim": 32, "num_prototypes": 16, "num_crops": [2, 2],
+        "crops_for_assign": [0, 1], "freeze_prototypes_iter": 2,
+    })
+    rs = np.random.RandomState(3)
+    crops = [jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32) for _ in range(2)] + \
+            [jnp.asarray(rs.rand(8, 16, 16, 3), jnp.float32) for _ in range(2)]
+    state, losses = _train(model, crops, steps=3,
+                           opt_cfg={"name": "MomentumLARS", "momentum": 0.9,
+                                    "param_group": [{"name": r"^prototypes/", "freeze_steps": 2}]})
+    assert np.isfinite(losses).all()
+    w = np.asarray(traverse_util.flatten_dict(state.params, sep="/")["prototypes/kernel"])
+    assert np.allclose(np.linalg.norm(w, axis=0), 1.0, atol=1e-3)
+
+
+def test_device_augment_shapes_and_range():
+    from passl_tpu.ops import augment
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (4, 32, 32, 3), np.uint8))
+    v1, v2 = augment.byol_device_augment(x, x, rng)
+    assert v1.shape == (4, 32, 32, 3) and v2.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(v1)).all() and np.isfinite(np.asarray(v2)).all()
+    # color jitter keeps range and shape
+    y = augment.color_jitter(augment.to_float(x), rng)
+    assert y.shape == x.shape
+    assert float(jnp.min(y)) >= -1e-5 and float(jnp.max(y)) <= 1.0 + 1e-5
+    # blur with sigma→0.1 ~ identity-ish; large sigma smooths
+    xf = augment.to_float(x)
+    sharp = augment.gaussian_blur(xf, jnp.full((4,), 0.1), taps=7)
+    smooth = augment.gaussian_blur(xf, jnp.full((4,), 5.0), taps=23)
+    assert float(jnp.std(smooth)) < float(jnp.std(sharp))
