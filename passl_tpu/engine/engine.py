@@ -41,8 +41,20 @@ from . import loops as loops_mod
 from .steps import ema_momentum_schedule, make_eval_step, make_train_step
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile of a train step
+    can take minutes on TPU; cached recompiles are seconds."""
+    try:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 class Engine:
     def __init__(self, config: Dict[str, Any], mode: str = "train"):
+        _enable_compile_cache()
         self.config = config
         self.mode = mode
         g = config.get("Global", {})

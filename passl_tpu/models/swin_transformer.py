@@ -1,0 +1,248 @@
+"""Swin Transformer.
+
+Capability parity with reference `passl/models/swin_transformer.py`
+(824 LoC: windowed attention with relative position bias, shifted
+windows with attention masking, patch merging, stochastic depth;
+tiny/small/base/large variants) and the v110 backbone twin.
+
+TPU-native: NHWC window partitioning is pure reshape/transpose (no
+data movement after XLA fusion); the shifted-window attention mask and
+relative-position index are *numpy constants* baked at trace time, so
+the hot graph has zero dynamic indexing.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import init as tinit
+from ..nn.layers import DropPath, Mlp
+from .base import MODELS, Model, register_model
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    n = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(n, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, -1)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))  # [2, ws, ws]
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # [2, ws^2, ws^2]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # [ws^2, ws^2]
+
+
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> Optional[np.ndarray]:
+    if shift == 0:
+        return None
+    img_mask = np.zeros((1, h, w, 1))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, hs, wsl, :] = cnt
+            cnt += 1
+    mask_windows = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
+    mask_windows = mask_windows.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)  # [nW, ws^2, ws^2]
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None, deterministic: bool = True):
+        b, l, c = x.shape  # b = batch*windows, l = ws^2
+        h = self.num_heads
+        head_dim = c // h
+        scale = head_dim**-0.5
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=tinit.trunc_normal_(std=0.02), name="qkv")(x)
+        qkv = qkv.reshape(b, l, 3, h, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+
+        ws = self.window_size
+        table = self.param("relative_position_bias_table", tinit.trunc_normal_(std=0.02),
+                           ((2 * ws - 1) * (2 * ws - 1), h), jnp.float32)
+        idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
+        bias = table[idx].reshape(l, l, h).transpose(2, 0, 1)  # [h, l, l]
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            m = jnp.asarray(mask)
+            attn = attn.reshape(b // nw, nw, h, l, l) + m[None, :, None, :, :]
+            attn = attn.reshape(b, h, l, l)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, l, c)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        hres, wres = self.input_resolution
+        ws = self.window_size
+        shift = self.shift_size
+        if min(hres, wres) <= ws:
+            # window covers the whole feature map → no shifting needed
+            ws = min(hres, wres)
+            shift = 0
+        n, l, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(n, hres, wres, c)
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+        windows = window_partition(x, ws)
+        mask = _shift_attn_mask(hres, wres, ws, shift)
+        attn_out = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
+                                   self.attn_drop, self.drop, self.dtype,
+                                   name="attn")(windows, mask, deterministic)
+        x = window_reverse(attn_out, ws, hres, wres)
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = x.reshape(n, l, c)
+        x = shortcut + DropPath(self.drop_path, name="dp1")(x, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(hidden_features=int(c * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
+                name="mlp")(y, deterministic)
+        return x + DropPath(self.drop_path, name="dp2")(y, deterministic=deterministic)
+
+
+class PatchMerging(nn.Module):
+    input_resolution: Tuple[int, int]
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = self.input_resolution
+        n, l, c = x.shape
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, (h // 2) * (w // 2), 4 * c)
+        # concat order (x0,x1,x2,x3) = (0::2,0::2),(1::2,0::2),(0::2,1::2),(1::2,1::2)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                        kernel_init=tinit.trunc_normal_(std=0.02), name="reduction")(x)
+
+
+@register_model
+class SwinTransformer(Model):
+    img_size: int = 224
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False  # absolute position embedding
+    patch_norm: bool = True
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n = x.shape[0]
+        p = self.patch_size
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID", dtype=self.dtype,
+                    kernel_init=tinit.trunc_normal_(std=0.02), name="patch_embed")(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(n, gh * gw, self.embed_dim)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+        if self.ape:
+            ape = self.param("absolute_pos_embed", tinit.trunc_normal_(std=0.02),
+                             (1, gh * gw, self.embed_dim), jnp.float32)
+            x = x + ape.astype(x.dtype)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        cur = 0
+        res = (gh, gw)
+        dim = self.embed_dim
+        for i, depth in enumerate(self.depths):
+            for j in range(depth):
+                x = SwinBlock(
+                    dim=dim, input_resolution=res, num_heads=self.num_heads[i],
+                    window_size=self.window_size,
+                    shift_size=0 if j % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                    drop_path=float(dpr[cur]), dtype=self.dtype,
+                    name=f"layers_{i}_blocks_{j}",
+                )(x, deterministic=not train)
+                cur += 1
+            if i < len(self.depths) - 1:
+                x = PatchMerging(res, dim, self.dtype, name=f"layers_{i}_downsample")(x)
+                res = (res[0] // 2, res[1] // 2)
+                dim *= 2
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        feats = jnp.mean(x, axis=1)
+        if self.num_classes > 0:
+            feats = nn.Dense(self.num_classes, dtype=self.dtype,
+                             kernel_init=tinit.trunc_normal_(std=0.02), name="head")(feats)
+        return feats
+
+
+_SWIN = {
+    "swin_tiny_patch4_window7_224": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "swin_small_patch4_window7_224": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "swin_base_patch4_window7_224": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    "swin_base_patch4_window12_384": dict(img_size=384, window_size=12, embed_dim=128,
+                                          depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    "swin_large_patch4_window7_224": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+}
+
+for _name, _cfg in _SWIN.items():
+    def _make(cfg=_cfg):
+        def factory(**kw):
+            merged = dict(cfg)
+            merged.update(kw)
+            return SwinTransformer(**merged)
+
+        return factory
+
+    _f = _make()
+    _f.__name__ = _name
+    MODELS.register(_f, name=_name)

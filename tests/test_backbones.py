@@ -1,0 +1,58 @@
+"""Backbone zoo forward-shape tests (tiny configs, CPU mesh)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from passl_tpu.models import build_model
+
+CASES = [
+    ({"name": "VisionTransformer", "img_size": 32, "patch_size": 8, "embed_dim": 64,
+      "depth": 2, "num_heads": 4, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "DistilledVisionTransformer", "img_size": 32, "patch_size": 8, "embed_dim": 64,
+      "depth": 2, "num_heads": 4, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "CaiT", "img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+      "num_heads": 4, "depth_token_only": 1, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "SwinTransformer", "img_size": 32, "patch_size": 4, "embed_dim": 32,
+      "depths": (1, 1), "num_heads": (2, 4), "window_size": 4, "num_classes": 10},
+     (2, 32, 32, 3), (2, 10)),
+    ({"name": "ConvNeXt", "depths": (1, 1, 1, 1), "dims": (16, 32, 64, 128),
+      "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "resnet50", "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+]
+
+
+@pytest.mark.parametrize("cfg,in_shape,out_shape", CASES, ids=[c[0]["name"] for c in CASES])
+def test_backbone_forward(cfg, in_shape, out_shape, rng):
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(*in_shape), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))({"params": rng}, x)
+    out = jax.jit(functools.partial(model.apply, train=False))(variables, x)
+    assert out.shape == out_shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swin_shifted_window_mask():
+    from passl_tpu.models.swin_transformer import _shift_attn_mask, window_partition, window_reverse
+
+    m = _shift_attn_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    assert (m == 0).any() and (m == -100).any()
+    # partition/reverse roundtrip
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    w = window_partition(x, 4)
+    assert w.shape == (2 * 4, 16, 3)
+    back = window_reverse(w, 4, 8, 8)
+    assert np.allclose(np.asarray(back), np.asarray(x))
+
+
+def test_vit_pos_embed_interpolation():
+    from passl_tpu.models.vision_transformer import interpolate_pos_embed
+
+    pe = jnp.asarray(np.random.RandomState(0).rand(1, 1 + 16, 8), jnp.float32)
+    out = interpolate_pos_embed(pe, new_grid=8)
+    assert out.shape == (1, 1 + 64, 8)
+    # prefix (cls) slot preserved exactly
+    assert np.allclose(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
