@@ -186,3 +186,74 @@ DATASETS = {
     "SyntheticDataset": SyntheticDataset,
     "SwAVMultiCropDataset": SwAVMultiCropDataset,
 }
+
+
+class TextImageDataset(Dataset):
+    """Image-caption pairs for CLIP (reference
+    passl_v110/datasets/textimagedataset.py): an annotation file with
+    `<image_path>\t<caption>` lines; tokenized to fixed context length."""
+
+    def __init__(
+        self,
+        data_root: str = "",
+        anno_path: Optional[str] = None,
+        transform=None,
+        context_length: int = 77,
+        bpe_path: Optional[str] = None,
+    ):
+        from .tokenizer import SimpleTokenizer
+
+        self.transform = build_transform(transform)
+        self.tokenizer = SimpleTokenizer(bpe_path=bpe_path, context_length=context_length)
+        self.samples: List[Tuple[str, str]] = []
+        if anno_path:
+            with open(anno_path) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2:
+                        self.samples.append((os.path.join(data_root, parts[0]), parts[1]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        path, caption = self.samples[idx]
+        with open(path, "rb") as f:
+            img = Image.open(f).convert("RGB")
+        img = self.transform(img)
+        tokens = self.tokenizer.tokenize(caption)[0]
+        return {"image": img, "text": tokens}
+
+
+class SyntheticTextImageDataset(Dataset):
+    """Deterministic fake image-caption pairs (CLIP smoke/perf runs)."""
+
+    def __init__(self, size: int = 256, image_size: int = 224, context_length: int = 77,
+                 vocab_size: int = 49408, transform=None):
+        self.size = size
+        self.image_size = image_size
+        self.context_length = context_length
+        self.vocab_size = vocab_size
+        self.transform = build_transform(transform)
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        rs = np.random.RandomState(idx % 4096)
+        img = Image.fromarray(rs.randint(0, 256, (self.image_size, self.image_size, 3), np.uint8))
+        img = self.transform(img)
+        ln = rs.randint(5, 20)
+        toks = np.zeros((self.context_length,), np.int32)
+        toks[0] = self.vocab_size - 2  # sot
+        toks[1 : 1 + ln] = rs.randint(1, self.vocab_size - 2, ln)
+        toks[1 + ln] = self.vocab_size - 1  # eot
+        return {"image": img, "text": toks}
+
+
+DATASETS["TextImageDataset"] = TextImageDataset
+DATASETS["SyntheticTextImageDataset"] = SyntheticTextImageDataset

@@ -390,3 +390,36 @@ def build_transform(cfg) -> Callable:
             else:
                 ops.append(TRANSFORMS[opname](**kwargs))
     return Compose(ops)
+
+
+class RandomResizedCropWithCoords(RandomResizedCrop):
+    """RRC returning (img, coord) where coord = (x1, y1, x2, y2) of the
+    crop box in source-image space (reference PixPro transforms,
+    img_pil_pixpro_transforms.py)."""
+
+    def __call__(self, img):
+        x, y, cw, ch = self.get_params(img)
+        coord = np.asarray([x, y, x + cw, y + ch], np.float32)
+        img = img.crop((x, y, x + cw, y + ch))
+        img = img.resize((self.size[1], self.size[0]), _interp(self.interpolation))
+        return img, coord
+
+
+class PixProTwoViewsTransform:
+    """Two coordinate-tracked crops, each through its own post pipeline.
+    Yields {'view1','view2','coord1','coord2'} for PixPro."""
+
+    def __init__(self, crop, post_transform1, post_transform2=None):
+        self.crop = crop if callable(crop) else RandomResizedCropWithCoords(**crop)
+        self.post1 = build_transform(post_transform1)
+        self.post2 = build_transform(post_transform2) if post_transform2 else self.post1
+
+    def __call__(self, img):
+        v1, c1 = self.crop(img)
+        v2, c2 = self.crop(img)
+        return {"view1": self.post1(v1), "view2": self.post2(v2),
+                "coord1": c1, "coord2": c2}
+
+
+TRANSFORMS["RandomResizedCropWithCoords"] = RandomResizedCropWithCoords
+TRANSFORMS["PixProTwoViewsTransform"] = PixProTwoViewsTransform
