@@ -136,7 +136,16 @@ class Engine:
         model_cfg = dict(config.get("Model", {}))
         if "dtype" not in model_cfg and self.policy.compute_dtype != jnp.float32:
             model_cfg["dtype"] = self.policy.compute_dtype
-        self.model = build_model(model_cfg)
+        if self.recompute_cfg and "remat" not in model_cfg:
+            # DistributedStrategy.recompute → jax.checkpoint on blocks
+            model_cfg["remat"] = True
+        try:
+            self.model = build_model(model_cfg)
+        except TypeError:
+            if model_cfg.pop("remat", None) is None:
+                raise
+            logger.warning(f"model {name} does not support remat; recompute ignored")
+            self.model = build_model(model_cfg)
 
         # ---- init variables (jitted: one XLA program instead of
         # op-by-op dispatch — critical on tunneled platforms)
@@ -214,7 +223,18 @@ class Engine:
         state = TrainState.create(params, self.model_state, opt_state,
                                   jax.random.fold_in(rng, jax.process_index() * 0 + 1),
                                   scaler_state=scaler_state, ema_params=ema_params)
-        self.state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        if fsdp_degree > 1 or mp_degree > 1:
+            # ZeRO/megatron placement (replaces the reference's
+            # ShardingStage2 wrapper + ring-TP layers, SURVEY §2.3)
+            from ..distributed.sharding import VIT_TP_RULES, shard_train_state
+
+            self.state, self.state_shardings = shard_train_state(
+                state, self.mesh, tp_rules=VIT_TP_RULES, use_fsdp=fsdp_degree > 1
+            )
+            logger.info(f"sharded train state over mesh {dict(self.mesh.shape)} "
+                        f"(fsdp={fsdp_degree}, tp={mp_degree})")
+        else:
+            self.state = jax.device_put(state, NamedSharding(self.mesh, P()))
 
         # ---- compiled steps
         self.train_step = jax.jit(

@@ -58,6 +58,7 @@ class VisionTransformer(Model):
     dtype: Dtype = jnp.float32
     head_init: str = "trunc_normal"  # "trunc_normal" | "zeros" | "small"
     stop_grad_patch_embed: bool = False  # MoCo v3 trick (mocov3.py)
+    remat: bool = False  # activation recompute (reference recompute_warp)
 
     def head_tokens(self):
         return 1
@@ -86,8 +87,12 @@ class VisionTransformer(Model):
         import numpy as _np
 
         dpr = [float(r) for r in _np.linspace(0, self.drop_path_rate, self.depth)]
+        # activation checkpointing: re-materialize block activations in
+        # the backward pass (TPU equivalent of the reference's
+        # recompute_warp over LayerLists, core/recompute.py:34-43)
+        BlockCls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         for i in range(self.depth):
-            x = Block(
+            x = BlockCls(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
@@ -99,7 +104,7 @@ class VisionTransformer(Model):
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=not train)
+            )(x, not train)  # positional: remat static_argnums=(2,)
 
         if self.global_pool:
             feats = jnp.mean(x[:, 1:], axis=1)
