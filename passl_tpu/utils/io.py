@@ -85,8 +85,10 @@ def save_params(params, path: str):
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(_to_host(params)))
+    os.replace(tmp, path)
 
 
 def load_pretrained_into(path: str, params):
@@ -136,9 +138,11 @@ def export(model, variables, sample_input, output_dir: str, name: str = "inferen
                            x, train=False)
 
     params = variables["params"]
+    # symbolic batch dim so the served artifact accepts any batch size
+    (b,) = jexport.symbolic_shape("b")
     exp = jexport.export(jax.jit(fwd))(
         jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
-        jax.ShapeDtypeStruct(sample_input.shape, sample_input.dtype),
+        jax.ShapeDtypeStruct((b, *sample_input.shape[1:]), sample_input.dtype),
     )
     with open(os.path.join(output_dir, f"{name}.stablehlo"), "wb") as f:
         f.write(exp.serialize())

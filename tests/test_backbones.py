@@ -56,3 +56,35 @@ def test_vit_pos_embed_interpolation():
     assert out.shape == (1, 1 + 64, 8)
     # prefix (cls) slot preserved exactly
     assert np.allclose(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
+
+
+EXTRA_CASES = [
+    ({"name": "MlpMixer", "img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+      "tokens_mlp_dim": 32, "channels_mlp_dim": 128, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "RegNet", "w_a": 24.48, "w_0": 24, "w_m": 2.54, "depth": 6,
+      "group_width": 8, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "XCiT", "img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+      "num_heads": 4, "cls_attn_layers": 1, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "CvT", "embed_dims": (16, 32, 64), "depths": (1, 1, 2),
+      "num_heads": (1, 2, 4), "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "T2TViT", "img_size": 64, "token_dim": 16, "embed_dim": 64, "depth": 2,
+      "num_heads": 4, "num_classes": 10}, (2, 64, 64, 3), (2, 10)),
+    ({"name": "LVViT", "img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+      "num_heads": 4, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "BEiTFinetune", "encoder": {"img_size": 32, "patch_size": 8, "embed_dim": 64,
+      "depth": 2, "num_heads": 4}, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+    ({"name": "CAEFinetune", "img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+      "num_heads": 4, "num_classes": 10}, (2, 32, 32, 3), (2, 10)),
+]
+
+
+@pytest.mark.parametrize("cfg,in_shape,out_shape", EXTRA_CASES,
+                         ids=[c[0]["name"] for c in EXTRA_CASES])
+def test_extra_backbone_forward(cfg, in_shape, out_shape, rng):
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(*in_shape), jnp.float32)
+    init_rngs = {"params": rng}
+    variables = jax.jit(functools.partial(model.init, train=False))(init_rngs, x)
+    out = jax.jit(functools.partial(model.apply, train=False))(variables, x)
+    assert out.shape == out_shape
+    assert np.isfinite(np.asarray(out)).all()
