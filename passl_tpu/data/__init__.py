@@ -68,4 +68,5 @@ def build_dataloader(config: Dict[str, Any], mode: str = "Train", seed: int = 0)
         num_workers=int(loader_cfg.get("num_workers", 0)),
         prefetch=int(loader_cfg.get("prefetch", 2)),
         batch_transform=batch_transform,
+        seed=seed,
     )

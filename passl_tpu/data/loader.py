@@ -119,9 +119,17 @@ class RepeatedAugSampler(DistributedBatchSampler):
 _WORKER_DATASET = None
 
 
-def _worker_init(dataset):
+def _worker_init(dataset, seed: int = 0):
+    """Reseed python/numpy RNGs per worker (reference engine.py:86-89
+    worker_init_fn determinism discipline)."""
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    import os
+    import random as _random
+
+    wid = os.getpid() % 100003
+    _random.seed(seed + wid)
+    np.random.seed((seed + wid) % (2**31))
 
 
 def _worker_fetch(idx: int):
@@ -139,6 +147,7 @@ class DataLoader:
         collate_fn: Callable = default_collate,
         prefetch: int = 2,
         batch_transform: Optional[Callable] = None,
+        seed: int = 0,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
@@ -146,6 +155,7 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self.batch_transform = batch_transform
+        self.seed = seed
         self._pool = None
 
     def set_epoch(self, epoch: int):
@@ -157,7 +167,7 @@ class DataLoader:
 
             ctx = mp.get_context("fork")
             self._pool = ctx.Pool(
-                self.num_workers, initializer=_worker_init, initargs=(self.dataset,)
+                self.num_workers, initializer=_worker_init, initargs=(self.dataset, self.seed)
             )
         return self._pool
 

@@ -253,6 +253,11 @@ class Engine:
             donate_argnums=0,
         )
         self.eval_step = jax.jit(make_eval_step(self.model))
+        # EMA-weights evaluation (reference .pdema checkpoints + EMA
+        # eval loop variant, loops/classification_loop.py EMA paths)
+        self.eval_step_ema = (
+            jax.jit(make_eval_step(self.model, use_ema=True)) if self.full_ema_decay else None
+        )
 
         # ---- loops (reference: eval('loops.<name>'), engine.py:301-313)
         loop_name = g.get("train_loop", None) or (

@@ -82,6 +82,8 @@ class TrainingEpochLoop(_Loop):
                 logger.info(f"reached max_train_step {e.max_train_step}, stopping")
                 break
 
+    last_metrics: Optional[Dict[str, Any]] = None  # for CI golden checks
+
     def train_one_epoch(self, epoch: int) -> bool:
         e = self.engine
         self.reset_time_info()
@@ -109,7 +111,9 @@ class TrainingEpochLoop(_Loop):
             if e.eval_during_train and e.eval_unit == "step" and global_step % e.eval_interval == 0:
                 self._run_eval(epoch)
             if e.max_train_step and global_step >= e.max_train_step:
+                self.last_metrics = metrics
                 return True
+        self.last_metrics = metrics
         return False
 
     def _run_eval(self, epoch: int):
@@ -156,6 +160,7 @@ class ClassificationEvaluationLoop(_Loop):
         seen = 0
         sums: Dict[str, float] = {}
         tic = time.perf_counter()
+        eval_ema = getattr(e, "eval_step_ema", None)
         for batch in e.eval_dataloader:
             images, labels = batch if not isinstance(batch, dict) else (batch["image"], batch["label"])
             bs = len(labels)
@@ -169,6 +174,11 @@ class ClassificationEvaluationLoop(_Loop):
             for metric in e.metric_fns:
                 for k, v in metric(logits, lab).items():
                     sums[k] = sums.get(k, 0.0) + float(v) * take
+            if eval_ema is not None:
+                ema_logits = np.asarray(eval_ema(e.state, gimages))[:take]
+                for metric in e.metric_fns:
+                    for k, v in metric(ema_logits, lab).items():
+                        sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v) * take
             seen += take
         if seen == 0:
             return None

