@@ -247,7 +247,8 @@ class SyntheticTextImageDataset(Dataset):
         rs = np.random.RandomState(idx % 4096)
         img = Image.fromarray(rs.randint(0, 256, (self.image_size, self.image_size, 3), np.uint8))
         img = self.transform(img)
-        ln = rs.randint(5, 20)
+        max_ln = max(2, self.context_length - 2)
+        ln = rs.randint(1, min(20, max_ln))
         toks = np.zeros((self.context_length,), np.int32)
         toks[0] = self.vocab_size - 2  # sot
         toks[1 : 1 + ln] = rs.randint(1, self.vocab_size - 2, ln)

@@ -195,7 +195,7 @@ class CLIP(Model):
             self.visual = CLIPVisionTransformer(
                 img_size=self.image_resolution, patch_size=self.vision_patch_size,
                 width=self.vision_width, depth=int(self.vision_layers),
-                num_heads=self.vision_width // 64, out_dim=self.embed_dim,
+                num_heads=max(1, self.vision_width // 64), out_dim=self.embed_dim,
                 patch_bias=self.patch_bias, pre_norm=self.pre_norm, proj=self.proj,
                 dtype=self.dtype, name="visual")
         self.token_embedding = nn.Embed(self.vocab_size, self.transformer_width,
@@ -237,7 +237,7 @@ class CLIP(Model):
             image, text = batch
         img_f = l2_normalize(self.encode_image(image, train=train).astype(jnp.float32), axis=-1)
         txt_f = l2_normalize(self.encode_text(text, train=train).astype(jnp.float32), axis=-1)
-        scale = jnp.exp(jnp.clip(self.logit_scale, a_max=math.log(100.0)))
+        scale = jnp.exp(jnp.clip(self.logit_scale, max=math.log(100.0)))
         logits_i = scale * img_f @ txt_f.T
         logits_t = logits_i.T
         n = logits_i.shape[0]
