@@ -1,0 +1,50 @@
+"""Extract a sub-tree of weights from a training checkpoint.
+
+Capability parity with reference `tools_v110/extract_weight.py` (pull
+the backbone out of an SSL checkpoint so linear-probe/finetune configs
+can `Global.pretrained_model=` it).
+
+Usage:
+  python -m passl_tpu.tools.extract_weights \
+      --checkpoint out/mocov2/latest.ckpt \
+      --prefix encoder_q/backbone \
+      --output out/mocov2/backbone.params \
+      [--strip-prefix]            # drop the prefix from saved keys
+      [--rename backbone]         # re-root the subtree under a new key
+"""
+from __future__ import annotations
+
+import argparse
+
+from flax import serialization, traverse_util
+
+from passl_tpu.utils import io, logger
+
+
+def main():
+    ap = argparse.ArgumentParser("extract weights")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--prefix", required=True, help="param path prefix, e.g. encoder_q/backbone")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--strip-prefix", action="store_true", default=True)
+    ap.add_argument("--rename", default=None, help="re-root under this key")
+    args = ap.parse_args()
+
+    with open(args.checkpoint, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    params = state["params"] if "params" in state else state
+    flat = traverse_util.flatten_dict(params, sep="/")
+    prefix = args.prefix.rstrip("/") + "/"
+    picked = {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
+    if not picked:
+        available = sorted({k.split("/")[0] for k in flat})
+        raise SystemExit(f"no params under '{args.prefix}'. top-level keys: {available}")
+    if args.rename:
+        picked = {f"{args.rename}/{k}": v for k, v in picked.items()}
+    tree = traverse_util.unflatten_dict(picked, sep="/")
+    io.save_params(tree, args.output)
+    logger.info(f"extracted {len(picked)} tensors from '{args.prefix}' -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()
