@@ -1,0 +1,22 @@
+"""Every shipped config must parse and its Model must build."""
+import glob
+import os
+
+import pytest
+
+from passl_tpu.models import build_model
+from passl_tpu.utils import cfg_util
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "**", "*.yaml"), recursive=True))
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.relpath(p, REPO) for p in CONFIGS])
+def test_config_builds(path):
+    cfg = cfg_util.get_config(path)
+    assert "Model" in cfg and "Global" in cfg
+    model = build_model(dict(cfg["Model"]))
+    assert model is not None
+    if "DataLoader" in cfg and "Train" in cfg["DataLoader"]:
+        train = cfg["DataLoader"]["Train"]
+        assert "dataset" in train and "sampler" in train
