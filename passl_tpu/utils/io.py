@@ -70,7 +70,10 @@ def _gc_checkpoints(output_dir: str, keep: int):
 
 
 def load_checkpoint(path: str, state):
-    """Resume a TrainState saved by save_checkpoint."""
+    """Resume a TrainState saved by save_checkpoint (msgpack file or
+    orbax directory)."""
+    if os.path.isdir(path):
+        return load_sharded_checkpoint(path, state)
     if not path.endswith(".ckpt") and os.path.isdir(os.path.dirname(path) or "."):
         if os.path.exists(path + ".ckpt"):
             path = path + ".ckpt"
@@ -78,6 +81,36 @@ def load_checkpoint(path: str, state):
         blob = f.read()
     restored = serialization.from_bytes(state, blob)
     logger.info(f"resumed from {path} (step {int(restored.step)})")
+    return restored
+
+
+def save_sharded_checkpoint(state, output_dir: str, prefix: str = "latest") -> str:
+    """Multi-host/sharded checkpoint via orbax: each host writes its
+    addressable shards (replaces the reference's per-rank `_rank{i}.pdopt`
+    split, io.py:102-168). Use when the train state is FSDP/TP sharded
+    across hosts; single-host runs can keep the msgpack path."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, f"{prefix}.orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil as _sh
+
+        _sh.rmtree(path)
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    logger.info(f"saved sharded checkpoint {path} (step {int(state.step)})")
+    return path
+
+
+def load_sharded_checkpoint(path: str, state):
+    """Restore an orbax checkpoint onto the (possibly sharded) layout of
+    `state` — shards land directly on their devices."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), state)
+    logger.info(f"resumed sharded checkpoint from {path} (step {int(restored.step)})")
     return restored
 
 
