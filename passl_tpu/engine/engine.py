@@ -259,6 +259,11 @@ class Engine:
             jax.jit(make_eval_step(self.model, use_ema=True)) if self.full_ema_decay else None
         )
 
+        # ---- user hooks (v110 Hook extension point, hooks.py)
+        from .hooks import HookList, build_hooks
+
+        self.hooks = HookList(build_hooks(g.get("hooks")))
+
         # ---- loops (reference: eval('loops.<name>'), engine.py:301-313)
         loop_name = g.get("train_loop", None) or (
             "ClassificationTrainingEpochLoop" if self.criterion is not None

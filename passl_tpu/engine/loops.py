@@ -67,9 +67,12 @@ class TrainingEpochLoop(_Loop):
         if e.checkpoint_path:
             e.state = io.load_checkpoint(e.checkpoint_path, e.state)
             start_epoch = int(e.state.step) // max(e.steps_per_epoch, 1) + 1
+        e.hooks.call("train_begin", e)
         for epoch in range(start_epoch, e.epochs + 1):
             e.train_dataloader.set_epoch(epoch)
+            e.hooks.call("epoch_begin", e, epoch)
             stop = self.train_one_epoch(epoch)
+            e.hooks.call("epoch_end", e, epoch)
             if e.eval_during_train and e.eval_unit == "epoch" and epoch % e.eval_interval == 0:
                 self._run_eval(epoch)
             if jax.process_index() == 0:
@@ -81,6 +84,7 @@ class TrainingEpochLoop(_Loop):
             if stop:
                 logger.info(f"reached max_train_step {e.max_train_step}, stopping")
                 break
+        e.hooks.call("train_end", e)
 
     last_metrics: Optional[Dict[str, Any]] = None  # for CI golden checks
 
@@ -104,6 +108,7 @@ class TrainingEpochLoop(_Loop):
                 self.time_info["batch_cost"].update(time.perf_counter() - tic)
             tic = time.perf_counter()
             global_step = (epoch - 1) * steps_per_epoch + i + 1
+            e.hooks.call("iter_end", e, global_step, metrics)
             if e.profiler_options:
                 from ..utils import profiler
 
@@ -121,6 +126,7 @@ class TrainingEpochLoop(_Loop):
         if e.eval_loop is None:
             return
         metric = e.eval_loop.run()
+        e.hooks.call("eval_end", e, metric)
         if metric is not None and metric > self.best_metric["metric"]:
             self.best_metric.update(metric=metric, epoch=epoch, global_step=int(e.state.step))
             if jax.process_index() == 0:

@@ -140,6 +140,18 @@ def load_pretrained_into(path: str, params):
             lv = flat_loaded[k]
             if tuple(np.shape(lv)) == tuple(v.shape):
                 out[k] = jax.numpy.asarray(lv, v.dtype)
+            elif k.endswith("pos_embed") and np.ndim(lv) == 3 and v.ndim == 3 \
+                    and np.shape(lv)[-1] == v.shape[-1]:
+                # finetune at a new resolution: bicubic-resize the grid
+                # part (reference vision_transformer.py:365-427)
+                from ..models.vision_transformer import interpolate_pos_embed
+
+                n_prefix = 1 if (v.shape[1] - 1) ** 0.5 % 1 == 0 else 0
+                new_grid = int(round((v.shape[1] - n_prefix) ** 0.5))
+                out[k] = interpolate_pos_embed(
+                    jax.numpy.asarray(lv, v.dtype), new_grid, num_prefix=n_prefix)
+                logger.info(f"pretrained load: interpolated {k} "
+                            f"{np.shape(lv)} -> {tuple(v.shape)}")
             else:
                 mismatched.append(k)
                 out[k] = v
