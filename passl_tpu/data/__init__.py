@@ -12,7 +12,7 @@ from typing import Any, Dict, Optional
 from . import batch_transforms as _bt
 from . import masking  # noqa: F401  (registers mask transforms)
 from .datasets import DATASETS
-from .loader import DataLoader, DistributedBatchSampler, RepeatedAugSampler, default_collate
+from .loader import DataLoader, DistributedBatchSampler, RepeatedAugSampler
 
 SAMPLERS = {
     "DistributedBatchSampler": DistributedBatchSampler,

@@ -8,7 +8,6 @@ set; magnitude semantics follow timm's 0–10 scale.
 """
 from __future__ import annotations
 
-import math
 import random
 import re
 from typing import Callable, Dict, List, Optional, Sequence, Tuple

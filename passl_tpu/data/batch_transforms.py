@@ -6,7 +6,6 @@ Host-side numpy; produce soft labels consumed by SoftTargetCE/CELoss.
 """
 from __future__ import annotations
 
-import random
 from typing import Any, Callable, Dict, List, Sequence
 
 import numpy as np

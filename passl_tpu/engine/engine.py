@@ -19,7 +19,6 @@ TPU-native differences by design:
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Dict, Optional
 
 import jax

@@ -12,13 +12,12 @@ sharded over the mesh's data axes, so XLA inserts the reductions.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..core.amp import GradScaler, Policy
+from ..core.amp import GradScaler
 from ..core.train_state import TrainState, tree_where
 
 MUTABLE = ["batch_stats", "ssl"]

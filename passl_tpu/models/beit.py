@@ -24,7 +24,6 @@ import numpy as np
 from ..nn import init as tinit
 from ..nn.layers import DropPath, Mlp, PatchEmbed
 from .base import Model, register_model
-from .builder import build_submodule
 
 
 def _beit_rel_pos_index(grid: int) -> np.ndarray:

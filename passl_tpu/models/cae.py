@@ -24,7 +24,6 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..nn import init as tinit
 from ..nn.layers import Block, Mlp, PatchEmbed

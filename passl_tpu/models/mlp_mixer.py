@@ -11,7 +11,6 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..nn import init as tinit
 from ..nn.layers import Mlp, PatchEmbed
 from .base import MODELS, Model, register_model
 

@@ -27,7 +27,6 @@ from ..nn.layers import Block, PatchEmbed
 from ..nn.norm import l2_normalize
 from .base import Model, register_model
 from .utils.pos_embed import mocov3_2d_sincos_pos_embed
-from .vision_transformer import VisionTransformer
 
 
 def _mocov3_qkv_init():

@@ -12,7 +12,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn import init as tinit
 from .base import MODELS, Model, register_model
 
 

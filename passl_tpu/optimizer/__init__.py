@@ -10,7 +10,6 @@ is intentionally a no-op on TPU — XLA owns buffer layout (SURVEY §2.9).
 from __future__ import annotations
 
 import copy
-import inspect
 from typing import Any, Callable, Dict, List, Optional
 
 from flax import traverse_util

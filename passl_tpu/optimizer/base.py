@@ -19,8 +19,6 @@ import dataclasses
 import re
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
-import jax
-import jax.numpy as jnp
 from flax import traverse_util
 
 from .transforms import Frozen, Rule

@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from passl_tpu.utils import cfg_util, logger
+from passl_tpu.utils import cfg_util
 
 
 def main():

@@ -52,6 +52,21 @@ CASES = {
                       "Global.save_interval=0", "Global.epochs=2",
                       "Global.eval_during_train=False"],
     },
+    "byol_r18": {
+        "config": "configs/byol/byol_r18_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
+    "swav_r18": {
+        "config": "configs/swav/swav_r18_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
+    "convmae_tiny": {
+        "config": "configs/convmae/convmae_tiny_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
 }
 
 
