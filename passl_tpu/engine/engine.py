@@ -318,6 +318,13 @@ class Engine:
         return self.eval_loop.run()
 
     def export(self):
+        if self.criterion is None and self.train_dataloader is not None:
+            raise ValueError(
+                "export targets inference models (logits/features). For an "
+                "SSL pretrain config, first extract the backbone "
+                "(passl_tpu.tools.extract_weights) and export a "
+                "Classification/LinearProbe config over it."
+            )
         sample = self._sample_batch()
         x = sample[0] if isinstance(sample, (tuple, list)) else sample
         x = jnp.asarray(np.asarray(x)[:1])

@@ -59,28 +59,29 @@ def random_solarize(x: jnp.ndarray, rng, prob: float = 0.2, threshold: float = 0
     return jnp.where(mask, solarize(x, threshold), x)
 
 
-def _gauss_kernels(sigmas: jnp.ndarray, taps: int) -> jnp.ndarray:
-    """[N, taps] normalized 1-D gaussian kernels from per-sample sigma."""
+def _banded_blur_matrix(sigmas: jnp.ndarray, size: int, taps: int) -> jnp.ndarray:
+    """[N, size, size] row-normalized banded gaussian operators (the
+    MXU-native blur formulation — same as the Pallas kernel)."""
     r = taps // 2
-    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (xs[None, :] / sigmas[:, None]) ** 2)
-    return k / jnp.sum(k, axis=1, keepdims=True)
+    d = (jnp.arange(size)[:, None] - jnp.arange(size)[None, :]).astype(jnp.float32)
+    band = jnp.abs(d) <= r
+    k = jnp.exp(-0.5 * (d[None] / jnp.maximum(sigmas, 1e-3)[:, None, None]) ** 2)
+    k = jnp.where(band[None], k, 0.0)
+    return k / jnp.sum(k, axis=2, keepdims=True)
 
 
 def gaussian_blur(x: jnp.ndarray, sigmas: jnp.ndarray, taps: int = 23) -> jnp.ndarray:
-    """Separable per-sample blur. x: [N,H,W,C] float, sigmas: [N]."""
+    """Separable per-sample blur as two batched banded matmuls
+    (edge-renormalized, matching PIL's normalized edge behavior).
+    x: [N,H,W,C] float, sigmas: [N]."""
     n, h, w, c = x.shape
-    k = _gauss_kernels(sigmas, taps)  # [N, T]
-    r = taps // 2
-    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
-    # vertical: out[n,h,w,c] = sum_t k[n,t] * xp[n,h+t,w,c]
-    idx = jnp.arange(h)[:, None] + jnp.arange(taps)[None, :]  # [H, T]
-    xv = xp[:, idx]  # [N, H, T, W, C]
-    x = jnp.einsum("nhtwc,nt->nhwc", xv, k)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    idxw = jnp.arange(w)[:, None] + jnp.arange(taps)[None, :]
-    xh = xp[:, :, idxw]  # [N, H, W, T, C]
-    return jnp.einsum("nhwtc,nt->nhwc", xh, k)
+    kh = _banded_blur_matrix(sigmas, h, taps)  # [N, H, H]
+    x = jnp.einsum("nij,njwc->niwc", kh, x.astype(jnp.float32))
+    if w == h:
+        kw = kh
+    else:
+        kw = _banded_blur_matrix(sigmas, w, taps)
+    return jnp.einsum("nwj,nhjc->nhwc", kw, x)
 
 
 def random_gaussian_blur(
