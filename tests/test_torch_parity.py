@@ -1,0 +1,108 @@
+"""Numerics parity vs torch (CPU): optimizer update rules and losses
+must match the torch implementations the reference's semantics follow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from passl_tpu.loss import cross_entropy
+from passl_tpu.optimizer.transforms import AdamW, Momentum, MomentumLARS
+
+
+def _run_rule(rule, p0, grads, lr, wd):
+    p = jnp.asarray(p0)
+    s = rule.init(p)
+    for step, g in enumerate(grads):
+        p, s = rule.update(jnp.asarray(g), s, p, lr, wd, jnp.asarray(step))
+    return np.asarray(p)
+
+
+def test_adamw_matches_torch():
+    rs = np.random.RandomState(0)
+    p0 = rs.randn(6, 5).astype(np.float32)
+    grads = [rs.randn(6, 5).astype(np.float32) for _ in range(5)]
+    lr, wd = 1e-2, 0.05
+
+    ours = _run_rule(AdamW(beta1=0.9, beta2=0.999, epsilon=1e-8), p0, grads, lr, wd)
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.AdamW([tp], lr=lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt.step()
+    assert np.allclose(ours, tp.detach().numpy(), atol=2e-5), np.abs(ours - tp.detach().numpy()).max()
+
+
+def test_momentum_sgd_matches_torch():
+    rs = np.random.RandomState(1)
+    p0 = rs.randn(4, 3).astype(np.float32)
+    grads = [rs.randn(4, 3).astype(np.float32) for _ in range(4)]
+    lr, wd = 0.1, 1e-4
+
+    ours = _run_rule(Momentum(momentum=0.9), p0, grads, lr, wd)
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.SGD([tp], lr=lr, momentum=0.9, weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt.step()
+    assert np.allclose(ours, tp.detach().numpy(), atol=1e-5)
+
+
+def test_nesterov_matches_torch():
+    rs = np.random.RandomState(2)
+    p0 = rs.randn(4, 3).astype(np.float32)
+    grads = [rs.randn(4, 3).astype(np.float32) for _ in range(4)]
+    ours = _run_rule(Momentum(momentum=0.9, nesterov=True), p0, grads, 0.1, 0.0)
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.SGD([tp], lr=0.1, momentum=0.9, nesterov=True)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt.step()
+    assert np.allclose(ours, tp.detach().numpy(), atol=1e-5)
+
+
+def test_cross_entropy_matches_torch():
+    rs = np.random.RandomState(3)
+    logits = rs.randn(8, 10).astype(np.float32)
+    labels = rs.randint(0, 10, (8,))
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    ref = float(torch.nn.functional.cross_entropy(torch.tensor(logits), torch.tensor(labels)))
+    assert abs(ours - ref) < 1e-5
+    # label smoothing
+    ours_s = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), label_smoothing=0.1))
+    ref_s = float(torch.nn.functional.cross_entropy(torch.tensor(logits), torch.tensor(labels),
+                                                    label_smoothing=0.1))
+    assert abs(ours_s - ref_s) < 1e-5
+
+
+def test_trunc_normal_matches_torch_stats():
+    from passl_tpu.nn import init as tinit
+
+    k = jax.random.PRNGKey(0)
+    ours = np.asarray(tinit.trunc_normal_(std=0.02)(k, (200, 200)))
+    t = torch.empty(200, 200)
+    torch.nn.init.trunc_normal_(t, std=0.02)
+    theirs = t.numpy()
+    assert abs(ours.std() - theirs.std()) < 1e-3
+    assert abs(ours.mean() - theirs.mean()) < 1e-3
+    # a/b are ABSOLUTE truncation bounds (±2.0), not sigma-relative —
+    # with std 0.02 the bounds are inactive and both range to ~±4 sigma
+    assert ours.min() >= -2.0 and ours.max() <= 2.0
+    assert abs(ours.min() - theirs.min()) < 0.02
+
+
+def test_kaiming_fan_out_matches_torch_stats():
+    from passl_tpu.nn import init as tinit
+
+    # conv kernel: flax (kh, kw, in, out) vs torch (out, in, kh, kw)
+    k = jax.random.PRNGKey(0)
+    ours = np.asarray(tinit.kaiming_normal_(mode="fan_out", nonlinearity="relu")(k, (3, 3, 16, 64)))
+    t = torch.empty(64, 16, 3, 3)
+    torch.nn.init.kaiming_normal_(t, mode="fan_out", nonlinearity="relu")
+    assert abs(ours.std() - t.numpy().std()) < 5e-3
