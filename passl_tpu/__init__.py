@@ -11,3 +11,16 @@ instead of NCCL process groups.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy convenience exports (avoid importing jax at package import)
+    if name == "Engine":
+        from .engine import Engine
+
+        return Engine
+    if name == "build_model":
+        from .models import build_model
+
+        return build_model
+    raise AttributeError(name)
