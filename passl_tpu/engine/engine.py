@@ -198,7 +198,20 @@ class Engine:
                 params = dict(params)
                 params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
         ema_cfg = config.get("EMA", None)
-        self.full_ema_decay = float(ema_cfg["decay"]) if ema_cfg else None
+        self.full_ema_decay = None
+        if ema_cfg:
+            decay = float(ema_cfg["decay"])
+            thres = int(ema_cfg.get("thres_steps", 0))
+            if thres > 0:
+                self.full_ema_decay = lambda step, d=decay, t=thres: jnp.where(step < t, 0.0, d)
+            else:
+                self.full_ema_decay = decay
+
+        # Paddle framework flags are accepted for config compatibility
+        # but have no XLA equivalent (reference engine.py:91-99)
+        if g.get("flags"):
+            logger.info(f"Global.flags accepted for config compat (no-op on TPU): "
+                        f"{list(g['flags'])}")
 
         # ---- post-step param transforms (SwAV prototype renorm etc.)
         self.param_transforms = list(self.model.param_transforms()) \

@@ -182,7 +182,10 @@ def make_train_step(
 
         new_ema = state.ema_params
         if full_ema_decay is not None and state.ema_params is not None:
-            d = full_ema_decay
+            # callable decay supports threshold warmup (reference
+            # models/utils/ema.py thres_steps: shadow mirrors the raw
+            # params until warmup completes, then EMAs)
+            d = full_ema_decay(state.step) if callable(full_ema_decay) else full_ema_decay
             new_ema = jax.tree_util.tree_map(lambda e, p: d * e + (1 - d) * p, state.ema_params, new_params)
 
         metrics = {"lr": lr, "grad_norm": grad_norm, **loss_dict}

@@ -158,3 +158,26 @@ def _make_variant(name, defaults):
 
 for _name, _defaults in _VARIANTS.items():
     globals()[_name] = _make_variant(_name, _defaults)
+
+
+def _make_hybrid_variant(name, defaults):
+    """Tensor-parallel ViT aliases (reference `vision_transformer_hybrid.py`
+    ViT_hybrid_base_patch16_224): same module — TP is declarative here.
+    Use with `DistributedStrategy.mp_degree > 1`; the engine applies the
+    megatron VIT_TP_RULES to qkv/proj/mlp kernels, which is the SPMD
+    equivalent of the reference's ring-sharded linears + batch split."""
+
+    def factory(**kw):
+        merged = dict(defaults)
+        merged.update(kw)
+        return VisionTransformer(**merged)
+
+    factory.__name__ = name
+    MODELS.register(factory, name=name)
+
+
+for _hname, _hdefaults in {
+    "ViT_hybrid_base_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
+    "ViT_hybrid_large_patch16_224": dict(patch_size=16, embed_dim=1024, depth=24, num_heads=16),
+}.items():
+    _make_hybrid_variant(_hname, _hdefaults)

@@ -145,3 +145,42 @@ def test_layerwise_lr_decay_grouping():
     assert scales["blocks_1/w"] == 0.5
     assert scales["blocks_0/w"] == 0.25
     assert scales["patch_embed/kernel"] == 0.125
+
+
+def test_ema_threshold_warmup():
+    from passl_tpu.core import TrainState
+    from passl_tpu.engine.steps import make_train_step
+    from passl_tpu.optimizer import build_optimizer
+    from passl_tpu.scheduler import build_lr_scheduler
+    from passl_tpu.models import build_model
+    import functools
+
+    model = build_model({"name": "resnet18", "num_classes": 2, "cifar_stem": True})
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3), jnp.float32)
+    y = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    v = jax.jit(functools.partial(model.init, train=True))({"params": rng}, x)
+    params = v["params"]
+    ms = {k: w for k, w in v.items() if k != "params"}
+    from passl_tpu.loss import build_loss
+
+    crit = build_loss([{"CELoss": {}}])
+    opt = build_optimizer({"name": "Momentum", "momentum": 0.9}, params)
+    lr_fn = build_lr_scheduler({"name": "Constant", "learning_rate": 0.1}, 1, 1)
+    decay_fn = lambda step: jnp.where(step < 2, 0.0, 0.5)
+    state = TrainState.create(params, ms, opt.init(params), rng,
+                              ema_params=jax.tree_util.tree_map(jnp.copy, params))
+    step = jax.jit(make_train_step(model, opt, lr_fn, criterion=crit,
+                                   full_ema_decay=decay_fn), donate_argnums=0)
+    # during warmup (step<2) EMA == raw params exactly
+    for _ in range(2):
+        state, _ = step(state, (x, y))
+    a = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.allclose(a, b)
+    # after warmup EMA lags the raw params
+    for _ in range(2):
+        state, _ = step(state, (x, y))
+    a = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.allclose(a, b)
