@@ -159,3 +159,32 @@ def test_device_augment_shapes_and_range():
     sharp = augment.gaussian_blur(xf, jnp.full((4,), 0.1), taps=7)
     smooth = augment.gaussian_blur(xf, jnp.full((4,), 5.0), taps=23)
     assert float(jnp.std(smooth)) < float(jnp.std(sharp))
+
+
+def test_fastmoco_combinatorial_queries(mesh):
+    from passl_tpu.models.fastmoco import combine_embeddings, split_patches
+
+    # patch split/roundtrip sanity
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    p = split_patches(x, 2)
+    assert p.shape == (8, 4, 4, 3)
+    # combination means: s2=4, r=2 -> 6 subsets
+    z = jnp.asarray(np.random.RandomState(0).rand(8, 5), jnp.float32)
+    c = combine_embeddings(z, 4, 2)
+    assert c.shape == (2 * 6, 5)
+    zp = np.asarray(z).reshape(2, 4, 5)
+    assert np.allclose(np.asarray(c)[0], (zp[0, 0] + zp[0, 1]) / 2, atol=1e-6)
+
+    model = build_model({
+        "name": "FastMoCo", "backbone": BACKBONE,
+        "neck": {"name": "NonLinearNeckV2", "hid_channels": 64, "out_channels": 32},
+        "predictor": {"name": "NonLinearNeckV2", "hid_channels": 64, "out_channels": 32,
+                      "with_avg_pool": False},
+        "divide": 2, "combine_r": 2, "T": 0.5, "base_momentum": 0.9,
+    })
+    rs = np.random.RandomState(5)
+    batch = (jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32),
+             jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32))
+    state, losses = _train(model, batch, steps=3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
