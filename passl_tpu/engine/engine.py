@@ -184,9 +184,10 @@ class Engine:
         self.optimizer = build_optimizer(opt_cfg, params, frozen_patterns=frozen, num_layers=num_layers)
         logger.info(f"optimizer groups: {self.optimizer.describe()}")
 
-        # ---- pretrained
+        # ---- pretrained (params + bundled BN running stats if present)
         if self.pretrained_model:
-            params = io.load_pretrained_into(self.pretrained_model, params)
+            params, self.model_state = io.load_pretrained_into(
+                self.pretrained_model, params, self.model_state)
 
         # ---- EMA pairs (momentum encoders) + full-model EMA
         self.ema_pairs = []

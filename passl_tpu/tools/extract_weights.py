@@ -33,17 +33,37 @@ def main():
     with open(args.checkpoint, "rb") as f:
         state = serialization.msgpack_restore(f.read())
     params = state["params"] if "params" in state else state
-    flat = traverse_util.flatten_dict(params, sep="/")
     prefix = args.prefix.rstrip("/") + "/"
-    picked = {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
-    if not picked:
+
+    def pick(tree):
+        flat = traverse_util.flatten_dict(tree, sep="/")
+        sub = {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
+        if args.rename:
+            sub = {f"{args.rename}/{k}": v for k, v in sub.items()}
+        return traverse_util.unflatten_dict(sub, sep="/") if sub else None
+
+    picked = pick(params)
+    if picked is None:
+        flat = traverse_util.flatten_dict(params, sep="/")
         available = sorted({k.split("/")[0] for k in flat})
         raise SystemExit(f"no params under '{args.prefix}'. top-level keys: {available}")
-    if args.rename:
-        picked = {f"{args.rename}/{k}": v for k, v in picked.items()}
-    tree = traverse_util.unflatten_dict(picked, sep="/")
-    io.save_params(tree, args.output)
-    logger.info(f"extracted {len(picked)} tensors from '{args.prefix}' -> {args.output}")
+
+    # BN running statistics MUST travel with the backbone: a frozen
+    # backbone normalizing with fresh init stats produces garbage
+    # features (SURVEY §7 hard part 2). Bundle them when present.
+    bstats = None
+    ms = state.get("model_state", {}) if isinstance(state, dict) else {}
+    if isinstance(ms, dict) and ms.get("batch_stats"):
+        bstats = pick(ms["batch_stats"])
+
+    if bstats is not None:
+        io.save_params({"params": picked, "batch_stats": bstats}, args.output)
+        n_bs = len(traverse_util.flatten_dict(bstats))
+        logger.info(f"extracted params + {n_bs} BN-stat tensors from "
+                    f"'{args.prefix}' -> {args.output}")
+    else:
+        io.save_params(picked, args.output)
+        logger.info(f"extracted params from '{args.prefix}' -> {args.output}")
 
 
 if __name__ == "__main__":

@@ -123,13 +123,22 @@ def save_params(params, path: str):
     os.replace(tmp, path)
 
 
-def load_pretrained_into(path: str, params):
+def load_pretrained_into(path: str, params, model_state=None):
     """Load pretrained params, tolerating missing/extra keys and shape
     mismatches (reference `Model.load_pretrained` semantics: warn and
-    keep the fresh init for mismatches — e.g. a new classifier head)."""
+    keep the fresh init for mismatches — e.g. a new classifier head).
+
+    Files saved by extract_weights may bundle BN running statistics as
+    {"params": ..., "batch_stats": ...}; when `model_state` is given,
+    matching batch_stats entries are merged into it (returning
+    (params, model_state)), otherwise only params are returned."""
     with open(path, "rb") as f:
         blob = f.read()
     loaded = serialization.msgpack_restore(blob)
+    loaded_bstats = None
+    if isinstance(loaded, dict) and set(loaded) <= {"params", "batch_stats"} and "params" in loaded:
+        loaded_bstats = loaded.get("batch_stats")
+        loaded = loaded["params"]
     flat_new = traverse_util.flatten_dict(params, sep="/")
     flat_loaded = traverse_util.flatten_dict(loaded, sep="/")
     out = {}
@@ -165,7 +174,21 @@ def load_pretrained_into(path: str, params):
     if extra:
         logger.warning(f"pretrained load: {len(extra)} unused keys in file")
     logger.info(f"loaded pretrained weights from {path}")
-    return traverse_util.unflatten_dict(out, sep="/")
+    new_params = traverse_util.unflatten_dict(out, sep="/")
+    if model_state is None:
+        return new_params
+    if loaded_bstats:
+        bs_new = traverse_util.flatten_dict(model_state.get("batch_stats", {}), sep="/")
+        bs_loaded = traverse_util.flatten_dict(loaded_bstats, sep="/")
+        hit = 0
+        for k in bs_new:
+            if k in bs_loaded and tuple(np.shape(bs_loaded[k])) == tuple(bs_new[k].shape):
+                bs_new[k] = jax.numpy.asarray(bs_loaded[k], bs_new[k].dtype)
+                hit += 1
+        model_state = dict(model_state)
+        model_state["batch_stats"] = traverse_util.unflatten_dict(bs_new, sep="/")
+        logger.info(f"loaded {hit} pretrained BN running-stat tensors")
+    return new_params, model_state
 
 
 def export(model, variables, sample_input, output_dir: str, name: str = "inference"):

@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# End-to-end LEARNING check: SSL pretrain on structured synthetic data
+# must produce a representation whose linear probe beats chance by a
+# wide margin. Validates aug → SSL loss → optimizer → EMA → extract →
+# probe as a learning system (not just "runs without NaN").
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+OUT=/tmp/passl_learning
+rm -rf "$OUT"
+
+python -m passl_tpu.tools.train -c tests/e2e/simclr_structured.yaml \
+  -o Global.output_dir="$OUT/pretrain"
+
+python -m passl_tpu.tools.extract_weights \
+  --checkpoint "$OUT/pretrain/latest.ckpt" \
+  --prefix backbone --rename backbone \
+  --output "$OUT/backbone.params"
+
+python -m passl_tpu.tools.train -c tests/e2e/probe_structured.yaml \
+  -o Global.output_dir="$OUT/probe" \
+  -o Global.pretrained_model="$OUT/backbone.params" | tee "$OUT/probe.log"
+
+top1=$(grep -oE "top1: [0-9.]+" "$OUT/probe.log" | tail -1 | awk '{print $2}')
+echo "FINAL linear-probe top1: $top1 (chance = 0.10)"
+python -c "import sys; sys.exit(0 if float('$top1') > 0.5 else 1)"
+echo "LEARNING CHECK PASSED"
