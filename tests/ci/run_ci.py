@@ -67,6 +67,21 @@ CASES = {
         "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
                       "Global.save_interval=0", "Global.epochs=2"],
     },
+    "mocov3_tiny": {
+        "config": "configs/mocov3/mocov3_tiny_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
+    "cae_tiny": {
+        "config": "configs/cae/cae_tiny_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
+    "clip_tiny": {
+        "config": "configs/clip/clip_tiny_synthetic.yaml",
+        "overrides": ["Global.max_train_step=8", "Global.print_batch_step=100",
+                      "Global.save_interval=0", "Global.epochs=2"],
+    },
 }
 
 

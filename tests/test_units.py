@@ -184,3 +184,18 @@ def test_ema_threshold_warmup():
     a = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
     b = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     assert not np.allclose(a, b)
+
+
+def test_autoaugment_ops_run():
+    from PIL import Image
+
+    from passl_tpu.data.autoaugment import (AugMix, AutoAugment, RandAugment,
+                                            TimmAutoAugment, rand_augment_transform)
+
+    img = Image.fromarray(np.random.RandomState(0).randint(0, 256, (32, 32, 3), np.uint8))
+    for t in (AutoAugment(), RandAugment(num_layers=2, magnitude=9),
+              AugMix(), TimmAutoAugment("rand-m9-n2-mstd0.5")):
+        out = t(img)
+        assert out.size == (32, 32)
+    ra = rand_augment_transform("rand-m7-n3-mstd0.5")
+    assert ra.num_layers == 3 and ra.magnitude == 7 and ra.magnitude_std == 0.5
