@@ -42,10 +42,17 @@ class DINOVisionTransformer(nn.Module):
         x = PatchEmbed(patch_size=self.patch_size, embed_dim=self.embed_dim,
                        dtype=self.dtype, name="patch_embed")(x)
         num_patches = x.shape[1]
+        base_patches = (self.img_size // self.patch_size) ** 2
         cls_token = self.param("cls_token", tinit.trunc_normal_(std=0.02),
                                (1, 1, self.embed_dim), jnp.float32)
         pos_embed = self.param("pos_embed", tinit.trunc_normal_(std=0.02),
-                               (1, num_patches + 1, self.embed_dim), jnp.float32)
+                               (1, base_patches + 1, self.embed_dim), jnp.float32)
+        if num_patches != base_patches:
+            # multi-crop: interpolate the grid pos embed to this
+            # resolution (DINO's multi-resolution forward)
+            from .vision_transformer import interpolate_pos_embed
+
+            pos_embed = interpolate_pos_embed(pos_embed, int(num_patches**0.5), num_prefix=1)
         cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
         x = jnp.concatenate([cls, x], axis=1) + pos_embed.astype(x.dtype)
         norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")
@@ -120,3 +127,121 @@ for _name, _cfg in _DINO_VARIANTS.items():
     _f = _make()
     _f.__name__ = _name
     MODELS.register(_f, name=_name)
+
+
+class DINOHead(nn.Module):
+    """3-layer MLP -> L2-normalized bottleneck -> weight-normalized
+    prototype layer (the DINO projection head)."""
+
+    out_dim: int = 65536
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from ..nn.norm import l2_normalize
+
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.bottleneck_dim, dtype=self.dtype, name="fc3")(x)
+        x = l2_normalize(x.astype(jnp.float32), axis=-1)
+        # weight-normalized prototypes (unit-norm columns at use time)
+        w = self.param("prototypes", tinit.trunc_normal_(std=0.02),
+                       (self.bottleneck_dim, self.out_dim), jnp.float32)
+        w = l2_normalize(w, axis=0)
+        return x @ w
+
+
+@register_model
+class DINOPretrain(Model):
+    """DINO self-distillation pretraining (beyond the reference, which
+    ships only DINO linear probes): student/teacher towers over
+    multi-crop batches, teacher centering with EMA'd center buffer,
+    temperature-sharpened cross-entropy between every teacher global
+    crop and every student crop of a different view.
+
+    batch: list of crops — first `global_crops` at full resolution
+    (teacher + student), the rest local (student only).
+    """
+
+    backbone: Any = None  # DINOVisionTransformer kwargs (or registry cfg)
+    out_dim: int = 65536
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    global_crops: int = 2
+    student_temp: float = 0.1
+    teacher_temp: float = 0.04
+    center_momentum: float = 0.9
+    base_momentum: float = 0.996
+    dtype: Any = jnp.float32
+
+    def ema_map(self):
+        return [("student", "teacher", {"momentum": self.base_momentum, "schedule": "cosine"})]
+
+    @staticmethod
+    def frozen_patterns():
+        return [r"^teacher/"]
+
+    class _Tower(nn.Module):
+        backbone: Any
+        out_dim: int
+        hidden_dim: int
+        bottleneck_dim: int
+        dtype: Any
+
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            enc = DINOVisionTransformer(dtype=self.dtype, name="backbone",
+                                        **dict(self.backbone or {}))
+            feats = enc(x, train=train)
+            return DINOHead(self.out_dim, self.hidden_dim, self.bottleneck_dim,
+                            self.dtype, name="head")(feats, train=train)
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        crops = list(batch) if isinstance(batch, (list, tuple)) else [batch]
+        student = DINOPretrain._Tower(self.backbone, self.out_dim, self.hidden_dim,
+                                      self.bottleneck_dim, self.dtype, name="student")
+        teacher = DINOPretrain._Tower(self.backbone, self.out_dim, self.hidden_dim,
+                                      self.bottleneck_dim, self.dtype, name="teacher")
+
+        # group same-resolution crops into single forwards (MXU-friendly)
+        res_groups = {}
+        for i, c in enumerate(crops):
+            res_groups.setdefault(c.shape[1], []).append(i)
+        s_out = {}
+        for res, idxs in res_groups.items():
+            x = jnp.concatenate([crops[i] for i in idxs], axis=0)
+            z = student(x, train=train)
+            per = crops[idxs[0]].shape[0]
+            for j, i in enumerate(idxs):
+                s_out[i] = z[j * per : (j + 1) * per]
+        t_global = jax.lax.stop_gradient(
+            teacher(jnp.concatenate(crops[: self.global_crops], axis=0), train=train))
+        n = crops[0].shape[0]
+        t_out = [t_global[k * n : (k + 1) * n] for k in range(self.global_crops)]
+
+        center = self.variable("ssl", "center",
+                               lambda: jnp.zeros((1, self.out_dim), jnp.float32))
+        t_probs = [jax.nn.softmax((t - center.value) / self.teacher_temp, axis=-1)
+                   for t in t_out]
+
+        total, terms = 0.0, 0
+        for ti, tp in enumerate(t_probs):
+            for si in range(len(crops)):
+                if si == ti:
+                    continue
+                logp = jax.nn.log_softmax(s_out[si] / self.student_temp, axis=-1)
+                total = total - jnp.mean(jnp.sum(tp * logp, axis=-1))
+                terms += 1
+        loss = total / max(terms, 1)
+
+        if train and not self.is_initializing():
+            batch_center = jnp.mean(t_global, axis=0, keepdims=True)
+            center.value = (self.center_momentum * center.value
+                            + (1 - self.center_momentum) * batch_center)
+
+        return {"loss": loss}

@@ -188,3 +188,22 @@ def test_fastmoco_combinatorial_queries(mesh):
     state, losses = _train(model, batch, steps=3)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_dino_pretrain_multicrop(mesh):
+    model = build_model({
+        "name": "DINOPretrain",
+        "backbone": {"img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+                     "num_heads": 4},
+        "out_dim": 128, "hidden_dim": 64, "bottleneck_dim": 32,
+        "global_crops": 2, "teacher_temp": 0.04, "base_momentum": 0.9,
+    })
+    rs = np.random.RandomState(7)
+    crops = [jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32) for _ in range(2)] + \
+            [jnp.asarray(rs.rand(8, 16, 16, 3), jnp.float32) for _ in range(4)]
+    state, losses = _train(model, crops, steps=3, opt_cfg={"name": "AdamW",
+                                                           "weight_decay": 0.04})
+    assert np.isfinite(losses).all()
+    # the EMA'd center buffer moved off zero
+    center = jax.tree_util.tree_leaves(state.model_state["ssl"])[0]
+    assert float(jnp.abs(center).sum()) > 0
