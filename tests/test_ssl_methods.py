@@ -207,3 +207,36 @@ def test_dino_pretrain_multicrop(mesh):
     # the EMA'd center buffer moved off zero
     center = jax.tree_util.tree_leaves(state.model_state["ssl"])[0]
     assert float(jnp.abs(center).sum()) > 0
+
+
+def test_dinov2_pretrain_ibot(mesh):
+    model = build_model({
+        "name": "DINOv2Pretrain",
+        "backbone": {"img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+                     "num_heads": 4},
+        "out_dim": 128, "hidden_dim": 64, "bottleneck_dim": 32,
+        "global_crops": 2, "mask_ratio": 0.3, "base_momentum": 0.9,
+    })
+    rs = np.random.RandomState(9)
+    crops = [jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32) for _ in range(2)] + \
+            [jnp.asarray(rs.rand(8, 16, 16, 3), jnp.float32) for _ in range(2)]
+    rng = jax.random.PRNGKey(0)
+    import functools
+
+    init_rngs = {"params": rng, "dropout": rng, "masking": rng}
+    variables = jax.jit(functools.partial(model.init, train=True))(init_rngs, crops)
+    params = dict(variables["params"])
+    params["teacher"] = jax.tree_util.tree_map(jnp.copy, params["student"])
+    ms = {k: v for k, v in variables.items() if k != "params"}
+    opt = build_optimizer({"name": "AdamW", "weight_decay": 0.04}, params,
+                          frozen_patterns=model.frozen_patterns())
+    lr_fn = build_lr_scheduler({"name": "Constant", "learning_rate": 5e-4}, 1, 1)
+    pairs = [(s, d, ema_momentum_schedule(c, 100)) for s, d, c in model.ema_map()]
+    state = TrainState.create(params, ms, opt.init(params), rng)
+    step = jax.jit(make_train_step(model, opt, lr_fn, ema_pairs=pairs), donate_argnums=0)
+    outs = []
+    for _ in range(3):
+        state, m = step(state, crops)
+        outs.append({k: float(v) for k, v in m.items() if "loss" in k})
+    assert all(np.isfinite(list(o.values())).all() for o in outs)
+    assert {"dino_loss", "ibot_loss", "koleo_loss"} <= set(outs[0])
