@@ -1,0 +1,124 @@
+"""Host data-pipeline tests: samplers, collate, transforms, loader."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from passl_tpu.data.batch_transforms import Cutmix, Mixup
+from passl_tpu.data.loader import DataLoader, DistributedBatchSampler, RepeatedAugSampler, default_collate
+from passl_tpu.data.transforms import (CenterCrop, Compose, NormalizeImage,
+                                       RandomResizedCrop, Resize, TwoViewsTransform,
+                                       build_transform)
+
+
+def _img(size=64, seed=0):
+    return Image.fromarray(np.random.RandomState(seed).randint(0, 256, (size, size, 3), np.uint8))
+
+
+def test_sampler_determinism_and_epochs():
+    s = DistributedBatchSampler(dataset_len=100, batch_size=10, shuffle=True, seed=5)
+    s.set_epoch(1)
+    a = [b.tolist() for b in s]
+    s.set_epoch(1)
+    b = [x.tolist() for x in s]
+    assert a == b  # same epoch → same order
+    s.set_epoch(2)
+    c = [x.tolist() for x in s]
+    assert a != c  # different epoch → reshuffled
+    assert len(a) == 10 and all(len(x) == 10 for x in a)
+    # all indices covered exactly once
+    flat = sorted(i for batch in a for i in batch)
+    assert flat == list(range(100))
+
+
+def test_sampler_multihost_partition():
+    parts = []
+    for rank in range(4):
+        s = DistributedBatchSampler(dataset_len=100, batch_size=5, shuffle=False,
+                                    num_replicas=4, rank=rank)
+        parts.append([i for b in s for i in b.tolist()])
+    assert all(len(p) == 25 for p in parts)
+    assert sorted(sum(parts, [])) == list(range(100))  # disjoint cover
+
+
+def test_repeated_aug_sampler():
+    s = RepeatedAugSampler(dataset_len=30, batch_size=10, shuffle=False, num_repeats=3)
+    idx = [i for b in s for i in b.tolist()]
+    # every selected index appears num_repeats times in the stream
+    from collections import Counter
+
+    counts = Counter(idx)
+    assert set(counts.values()) == {3}
+
+
+def test_default_collate_shapes():
+    samples = [(np.zeros((4, 4, 3), np.float32), 1) for _ in range(3)]
+    imgs, labels = default_collate(samples)
+    assert imgs.shape == (3, 4, 4, 3) and labels.shape == (3,)
+    # dict samples
+    d = default_collate([{"a": np.ones(2), "b": 1.5}] * 2)
+    assert d["a"].shape == (2, 2) and d["b"].dtype == np.float32
+    # multi-crop lists
+    crops = default_collate([[np.zeros((4, 4, 3))] * 2] * 3)
+    assert isinstance(crops, list) and crops[0].shape == (3, 4, 4, 3)
+
+
+def test_transforms_shapes_and_normalize():
+    t = build_transform([
+        {"Resize": {"size": 48}},
+        {"CenterCrop": {"size": 32}},
+        {"NormalizeImage": {"scale": 0.00392157, "mean": [0.5, 0.5, 0.5],
+                            "std": [0.25, 0.25, 0.25]}},
+    ])
+    out = t(_img(64))
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    # normalize math: uint8 255 → (1.0 - 0.5)/0.25 = 2.0
+    white = NormalizeImage(scale=1 / 255.0, mean=[0.5] * 3, std=[0.25] * 3)(
+        Image.fromarray(np.full((4, 4, 3), 255, np.uint8)))
+    assert np.allclose(white, 2.0, atol=1e-3)
+
+
+def test_rrc_scale_bounds():
+    rrc = RandomResizedCrop(32, scale=(0.5, 1.0))
+    img = _img(64)
+    for _ in range(20):
+        x, y, cw, ch = rrc.get_params(img)
+        area_frac = (cw * ch) / (64 * 64)
+        assert 0.4 <= area_frac <= 1.01  # sampling within (slightly fuzzy) bounds
+        assert 0 <= x <= 64 - cw and 0 <= y <= 64 - ch
+    assert rrc(img).size == (32, 32)
+
+
+def test_two_views_differ():
+    t = TwoViewsTransform(Compose([RandomResizedCrop(16, scale=(0.3, 0.9)),
+                                   NormalizeImage()]))
+    v1, v2 = t(_img(64))
+    assert v1.shape == v2.shape == (16, 16, 3)
+    assert not np.allclose(v1, v2)  # independent crops
+
+
+def test_mixup_cutmix_soft_labels():
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(8, 16, 16, 3).astype(np.float32)
+    labels = np.arange(8) % 4
+    mi, my = Mixup(alpha=0.4, num_classes=4)((imgs, labels))
+    assert my.shape == (8, 4)
+    assert np.allclose(my.sum(axis=1), 1.0, atol=1e-5)
+    ci, cy = Cutmix(alpha=1.0, num_classes=4)((imgs, labels))
+    assert ci.shape == imgs.shape and np.allclose(cy.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_loader_with_worker_pool():
+    from passl_tpu.data import build_dataloader
+
+    dl = build_dataloader({
+        "dataset": {"name": "SyntheticDataset", "size": 24, "image_size": 8,
+                    "num_classes": 3,
+                    "transform": [{"NormalizeImage": {"scale": 0.00392157}}]},
+        "sampler": {"batch_size": 8, "shuffle": True, "drop_last": True},
+        "loader": {"num_workers": 2, "prefetch": 1},
+    }, "Train", seed=3)
+    batches = list(dl)
+    assert len(batches) == 3
+    imgs, labels = batches[0]
+    assert imgs.shape == (8, 8, 8, 3) and labels.shape == (8,)
+    dl.close()
