@@ -37,7 +37,8 @@ from ..scheduler import build_lr_scheduler
 from ..utils import io, logger
 from ..utils.infohub import runtime_info_hub
 from . import loops as loops_mod
-from .steps import ema_momentum_schedule, make_eval_step, make_train_step
+from .steps import (ema_momentum_schedule, make_eval_metrics_step,
+                    make_eval_step, make_train_step)
 
 
 def _enable_compile_cache():
@@ -176,7 +177,13 @@ class Engine:
             gc_kwargs = {k: v for k, v in grad_clip_cfg.items() if k != "name"}
             self.grad_clip = ClipGradByGlobalNorm(**gc_kwargs)
         frozen = list(self.model.frozen_patterns()) if hasattr(self.model, "frozen_patterns") else []
-        num_layers = int(model_cfg.get("depth", 0))
+        # registry variant names (e.g. ViT_base_patch16_224) carry no
+        # 'depth' key — fall back to the built model so layerwise_decay
+        # is not silently a no-op on exactly the finetune configs
+        num_layers = int(model_cfg.get("depth", 0) or getattr(self.model, "depth", 0) or 0)
+        if num_layers == 0 and (opt_cfg.get("layerwise_decay") or 0):
+            logger.warning("Optimizer.layerwise_decay is set but the model depth is "
+                           "unknown (num_layers=0) — layer decay will be a no-op")
         if hasattr(self.model, "optimizer_overrides"):
             overrides = self.model.optimizer_overrides()
             if overrides:
@@ -271,6 +278,19 @@ class Engine:
         self.eval_step_ema = (
             jax.jit(make_eval_step(self.model, use_ema=True)) if self.full_ema_decay else None
         )
+        # fused forward+top-k eval (scalars-only host traffic) when every
+        # configured metric is TopkAcc; other metrics (mAP) keep the
+        # host logits path
+        from ..metrics import TopkAcc as _TopkAcc
+
+        self.eval_metrics_step = None
+        self.eval_metrics_step_ema = None
+        if self.metric_fns and all(isinstance(m, _TopkAcc) for m in self.metric_fns):
+            topk = sorted({k for m in self.metric_fns for k in m.topk})
+            self.eval_metrics_step = jax.jit(make_eval_metrics_step(self.model, topk))
+            if self.full_ema_decay:
+                self.eval_metrics_step_ema = jax.jit(
+                    make_eval_metrics_step(self.model, topk, use_ema=True))
 
         # ---- user hooks (v110 Hook extension point, hooks.py)
         from .hooks import HookList, build_hooks
@@ -332,6 +352,14 @@ class Engine:
         return self.eval_loop.run()
 
     def export(self):
+        # export must ship the TRAINED weights (reference export loads
+        # the model via utils/io.py:206-226) — load Global.checkpoint
+        # exactly like eval() does
+        if self.checkpoint_path:
+            self.state = io.load_checkpoint(self.checkpoint_path, self.state)
+        elif not self.pretrained_model:
+            logger.warning("export: neither Global.checkpoint nor "
+                           "Global.pretrained_model set — exporting fresh-init weights")
         if self.criterion is None and self.train_dataloader is not None:
             raise ValueError(
                 "export targets inference models (logits/features). For an "

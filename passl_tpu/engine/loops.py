@@ -75,12 +75,14 @@ class TrainingEpochLoop(_Loop):
             e.hooks.call("epoch_end", e, epoch)
             if e.eval_during_train and e.eval_unit == "epoch" and epoch % e.eval_interval == 0:
                 self._run_eval(epoch)
-            if jax.process_index() == 0:
-                io.save_checkpoint(e.state, e.output_dir, prefix="latest",
-                                   max_num_checkpoint=e.max_num_checkpoint)
-                if e.save_interval > 0 and epoch % e.save_interval == 0:
-                    io.save_checkpoint(e.state, e.output_dir, prefix=f"epoch_{epoch}",
-                                       max_num_checkpoint=e.max_num_checkpoint)
+            # every process enters the save — the orbax path (selected
+            # automatically for sharded/multi-process state) writes
+            # per-host shards; the msgpack path no-ops off rank 0
+            io.save_checkpoint_auto(e.state, e.output_dir, prefix="latest",
+                                    max_num_checkpoint=e.max_num_checkpoint)
+            if e.save_interval > 0 and epoch % e.save_interval == 0:
+                io.save_checkpoint_auto(e.state, e.output_dir, prefix=f"epoch_{epoch}",
+                                        max_num_checkpoint=e.max_num_checkpoint)
             if stop:
                 logger.info(f"reached max_train_step {e.max_train_step}, stopping")
                 break
@@ -129,10 +131,9 @@ class TrainingEpochLoop(_Loop):
         e.hooks.call("eval_end", e, metric)
         if metric is not None and metric > self.best_metric["metric"]:
             self.best_metric.update(metric=metric, epoch=epoch, global_step=int(e.state.step))
-            if jax.process_index() == 0:
-                io.save_checkpoint(e.state, e.output_dir, prefix="best",
-                                   max_num_checkpoint=e.max_num_checkpoint,
-                                   metrics={"metric": metric})
+            io.save_checkpoint_auto(e.state, e.output_dir, prefix="best",
+                                    max_num_checkpoint=e.max_num_checkpoint,
+                                    metrics={"metric": metric})
         logger.info(f"[Eval][Epoch {epoch}] best metric: {self.best_metric['metric']:.5f} "
                     f"(epoch {self.best_metric['epoch']})")
 
@@ -167,24 +168,49 @@ class ClassificationEvaluationLoop(_Loop):
         sums: Dict[str, float] = {}
         tic = time.perf_counter()
         eval_ema = getattr(e, "eval_step_ema", None)
+        metrics_step = getattr(e, "eval_metrics_step", None)
+        metrics_step_ema = getattr(e, "eval_metrics_step_ema", None)
+        full_bs = None
         for batch in e.eval_dataloader:
             images, labels = batch if not isinstance(batch, dict) else (batch["image"], batch["label"])
+            images, labels = np.asarray(images), np.asarray(labels)
             bs = len(labels)
             take = min(bs, n_total - seen)
             if take <= 0:
                 break
-            gimages = e.shard_batch(images)
-            logits = e.eval_step(e.state, gimages)
-            logits = np.asarray(logits)[:take]
-            lab = np.asarray(labels)[:take]
-            for metric in e.metric_fns:
-                for k, v in metric(logits, lab).items():
-                    sums[k] = sums.get(k, 0.0) + float(v) * take
-            if eval_ema is not None:
-                ema_logits = np.asarray(eval_ema(e.state, gimages))[:take]
+            if full_bs is None:
+                full_bs = bs
+            if bs < full_bs:
+                # ragged tail: pad up to the steady batch size so the
+                # shape stays static (no recompile, and the leading dim
+                # keeps dividing the data axes); the valid mask / [:take]
+                # keeps the metric exact-count
+                pad = full_bs - bs
+                images = np.concatenate([images, np.repeat(images[-1:], pad, axis=0)])
+                labels = np.concatenate([labels, np.repeat(labels[-1:], pad, axis=0)])
+            valid = np.zeros(full_bs, dtype=bool)
+            valid[:take] = True
+            if metrics_step is not None:
+                # device path: forward + top-k fused under jit; only
+                # scalar sums come back to host
+                gi, gl, gv = e.shard_batch((images, labels.astype(np.int32), valid))
+                for k, v in metrics_step(e.state, gi, gl, gv).items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                if metrics_step_ema is not None:
+                    for k, v in metrics_step_ema(e.state, gi, gl, gv).items():
+                        sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v)
+            else:
+                gimages = e.shard_batch(images)
+                logits = np.asarray(e.eval_step(e.state, gimages))[:take]
+                lab = labels[:take]
                 for metric in e.metric_fns:
-                    for k, v in metric(ema_logits, lab).items():
-                        sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v) * take
+                    for k, v in metric(logits, lab).items():
+                        sums[k] = sums.get(k, 0.0) + float(v) * take
+                if eval_ema is not None:
+                    ema_logits = np.asarray(eval_ema(e.state, gimages))[:take]
+                    for metric in e.metric_fns:
+                        for k, v in metric(ema_logits, lab).items():
+                            sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v) * take
             seen += take
         if seen == 0:
             return None

@@ -218,3 +218,26 @@ def make_eval_step(model, *, use_ema: bool = False):
         return model.apply(variables, images, train=False)
 
     return eval_step
+
+
+def make_eval_metrics_step(model, topk: Sequence[int] = (1, 5), *, use_ema: bool = False):
+    """Fused eval forward + top-k on device: only per-batch scalar
+    *sums* cross the host boundary (the reference all_gathers full
+    logits+labels then computes TopkAcc on host,
+    classification_loop.py:194-218 — on TPU that round-trips the logits;
+    here top_k and the masked count reduce on device, and the data-
+    parallel reduction is implicit under jit)."""
+    topk = tuple(topk)
+    maxk = max(topk)
+
+    def step(state: TrainState, images, labels, valid):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        variables = {"params": params, **state.model_state}
+        logits = model.apply(variables, images, train=False)
+        kk = min(maxk, logits.shape[-1])  # tiny CI configs may have < maxk classes
+        _, pred = jax.lax.top_k(logits.astype(jnp.float32), kk)
+        correct = (pred == labels[:, None]) & valid[:, None]
+        return {f"top{k}": jnp.sum(jnp.any(correct[:, :min(k, kk)], axis=-1).astype(jnp.float32))
+                for k in topk}
+
+    return step

@@ -86,7 +86,10 @@ class BYOL(Model):
         t1 = jax.lax.stop_gradient(target(v1, train=train))
         t2 = jax.lax.stop_gradient(target(v2, train=train))
 
-        loss = 0.5 * (byol_regression_loss(p1, t2) + byol_regression_loss(p2, t1))
+        # sum (not mean) over the two views — reference L2Head computes
+        # (loss1+loss2) so ported hyperparameters see the same gradient
+        # scale (v110 architectures/BYOL.py forward_train)
+        loss = byol_regression_loss(p1, t2) + byol_regression_loss(p2, t1)
         return {"loss": loss}
 
 

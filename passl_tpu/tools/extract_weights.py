@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--prefix", required=True, help="param path prefix, e.g. encoder_q/backbone")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--strip-prefix", action="store_true", default=True)
+    ap.add_argument("--strip-prefix", action=argparse.BooleanOptionalAction, default=True,
+                    help="drop the prefix from saved keys (--no-strip-prefix keeps it)")
     ap.add_argument("--rename", default=None, help="re-root under this key")
     args = ap.parse_args()
 
@@ -37,7 +38,8 @@ def main():
 
     def pick(tree):
         flat = traverse_util.flatten_dict(tree, sep="/")
-        sub = {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
+        cut = len(prefix) if args.strip_prefix else 0
+        sub = {k[cut:]: v for k, v in flat.items() if k.startswith(prefix)}
         if args.rename:
             sub = {f"{args.rename}/{k}": v for k, v in sub.items()}
         return traverse_util.unflatten_dict(sub, sep="/") if sub else None

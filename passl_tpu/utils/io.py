@@ -7,9 +7,10 @@ Capability parity with reference `passl/utils/io.py`: save model params
 
 The reference splits distributed optimizer state into per-rank files;
 here a checkpoint is a host-independent msgpack of the *global* pytree
-(params are gathered; fine for single-host. Multi-host sharded
-checkpointing via orbax is layered on in `save_checkpoint(…,
-use_orbax=True)`).
+(params are gathered; fine for single-host). Multi-host / sharded state
+goes through orbax instead: `save_checkpoint_auto` dispatches to
+`save_sharded_checkpoint` whenever the state is mesh-sharded or the run
+is multi-process, and `load_checkpoint` restores either format.
 """
 from __future__ import annotations
 
@@ -28,6 +29,46 @@ from . import logger
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def state_is_sharded(state) -> bool:
+    """True when the msgpack gather path would be wrong or fail: the run
+    spans multiple processes, or some leaf is mesh-sharded (not fully
+    replicated) across >1 device."""
+    if jax.process_count() > 1:
+        return True
+    for leaf in jax.tree_util.tree_leaves(state):
+        sh = getattr(leaf, "sharding", None)
+        if sh is None:
+            continue
+        try:
+            if len(sh.device_set) > 1 and not leaf.is_fully_replicated:
+                return True
+        except Exception:
+            continue
+    return False
+
+
+def save_checkpoint_auto(
+    state,
+    output_dir: str,
+    prefix: str = "latest",
+    max_num_checkpoint: int = 3,
+    metrics: Optional[Dict[str, float]] = None,
+) -> str:
+    """Dispatch: orbax per-shard save for sharded/multi-process state
+    (every process must call this), msgpack otherwise (reference
+    per-rank `_rank{i}.pdopt` split, io.py:102-168)."""
+    if state_is_sharded(state):
+        path = save_sharded_checkpoint(state, output_dir, prefix)
+        if jax.process_index() == 0:
+            states = {"metric": metrics or {}, "save_time": time.time(),
+                      "step": int(state.step)}
+            with open(os.path.join(output_dir, f"{prefix}.states"), "w") as f:
+                json.dump(states, f)
+            _gc_checkpoints(output_dir, max_num_checkpoint)
+        return path
+    return save_checkpoint(state, output_dir, prefix, max_num_checkpoint, metrics)
 
 
 def save_checkpoint(
@@ -58,12 +99,19 @@ def save_checkpoint(
 def _gc_checkpoints(output_dir: str, keep: int):
     """Keep newest `keep` epoch-numbered checkpoints (never touches
     best/latest), reference io.py:173-203."""
+    import shutil
+
     cands = []
-    for p in glob.glob(os.path.join(output_dir, "epoch_*.ckpt")):
+    for p in glob.glob(os.path.join(output_dir, "epoch_*.ckpt")) + glob.glob(
+        os.path.join(output_dir, "epoch_*.orbax")
+    ):
         cands.append((os.path.getmtime(p), p))
     for _, p in sorted(cands)[:-keep] if keep > 0 else []:
-        os.remove(p)
-        st = p.replace(".ckpt", ".states")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+        st = p.rsplit(".", 1)[0] + ".states"
         if os.path.exists(st):
             os.remove(st)
 
@@ -73,7 +121,12 @@ def load_checkpoint(path: str, state):
     orbax directory)."""
     if os.path.isdir(path):
         return load_sharded_checkpoint(path, state)
-    if not path.endswith(".ckpt") and os.path.isdir(os.path.dirname(path) or "."):
+    if not os.path.exists(path):
+        # a sharded run may have written `<prefix>.orbax` where the
+        # config says `<prefix>.ckpt` (save_checkpoint_auto dispatch)
+        orbax_alt = path.rsplit(".", 1)[0] + ".orbax" if path.endswith(".ckpt") else path + ".orbax"
+        if os.path.isdir(orbax_alt):
+            return load_sharded_checkpoint(orbax_alt, state)
         if os.path.exists(path + ".ckpt"):
             path = path + ".ckpt"
     with open(path, "rb") as f:

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
+
 from passl_tpu.models import build_model
 
 CASES = [

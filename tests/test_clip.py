@@ -11,6 +11,9 @@ from passl_tpu.engine.steps import make_train_step
 from passl_tpu.models import build_model
 from passl_tpu.optimizer import build_optimizer
 from passl_tpu.scheduler import build_lr_scheduler
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
 
 
 def test_tokenizer_roundtrip_and_shape():

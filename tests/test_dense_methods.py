@@ -11,6 +11,9 @@ from passl_tpu.models import build_model
 from passl_tpu.models.pixpro import pixpro_regression_loss
 from passl_tpu.optimizer import build_optimizer
 from passl_tpu.scheduler import build_lr_scheduler
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
 
 BACKBONE = {"name": "resnet18", "num_classes": 0, "with_pool": False, "cifar_stem": True}
 

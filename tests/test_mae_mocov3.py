@@ -10,6 +10,9 @@ from passl_tpu.models import build_model
 from passl_tpu.models.mae import patchify, random_masking, unpatchify
 from passl_tpu.optimizer import build_optimizer
 from passl_tpu.scheduler import build_lr_scheduler
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
 
 
 def test_patchify_roundtrip():

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
+
 from passl_tpu.ops import augment as jaug
 from passl_tpu.ops.pallas.augment_kernel import fused_augment
 

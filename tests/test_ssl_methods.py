@@ -10,6 +10,9 @@ from passl_tpu.models import build_model
 from passl_tpu.models.swav import sinkhorn_knopp
 from passl_tpu.optimizer import build_optimizer
 from passl_tpu.scheduler import build_lr_scheduler
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
 
 BACKBONE = {"name": "resnet18", "num_classes": 0, "with_pool": False, "cifar_stem": True}
 RNGS = ("params", "dropout", "shuffle", "aug")
@@ -92,7 +95,7 @@ def test_byol_ema_target_tracks_online(mesh):
              jnp.asarray(rs.rand(8, 32, 32, 3), jnp.float32))
     state, losses = _train(model, batch, steps=3)
     assert np.isfinite(losses).all()
-    assert 0.0 < losses[0] < 4.0  # 2-2cos in [0,4]
+    assert 0.0 < losses[0] < 8.0  # sum of two view losses, each 2-2cos in [0,4]
 
 
 def test_simsiam_loss_range(mesh):

@@ -3,6 +3,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from passl_tpu import distributed as dist

@@ -21,11 +21,12 @@ echo "[TIPC] 2/4 eval from checkpoint"
 python -m passl_tpu.tools.eval -c "$CONFIG" \
   -o Global.output_dir="$OUT" -o Global.checkpoint="$OUT/latest.ckpt"
 
-echo "[TIPC] 3/4 export"
-python -m passl_tpu.tools.export -c "$CONFIG" -o Global.output_dir="$OUT"
+echo "[TIPC] 3/4 export (trained weights via Global.checkpoint)"
+python -m passl_tpu.tools.export -c "$CONFIG" -o Global.output_dir="$OUT" \
+  -o Global.checkpoint="$OUT/latest.ckpt"
 
 echo "[TIPC] 4/4 python inference over the exported artifact"
-python - "$OUT" <<'EOF'
+python - "$OUT" "$CONFIG" <<'EOF'
 import sys
 import numpy as np
 from PIL import Image
@@ -41,6 +42,29 @@ imgs = [Image.fromarray(np.random.RandomState(i).randint(0, 256, (32, 32, 3), np
 res = p(imgs, topk=3)
 assert len(res) == 2 and len(res[0]["class_ids"]) == 3
 print("[TIPC] inference ok:", res[0])
+
+# the exported params MUST be the trained ones, not fresh init: rebuild
+# the model from the config with the engine's init seed and assert the
+# serialized params differ from that init
+import yaml
+from flax import serialization, traverse_util
+import jax, functools
+import jax.numpy as jnp
+from passl_tpu.models import build_model
+
+cfg = yaml.safe_load(open(sys.argv[2]))
+model = build_model(dict(cfg["Model"]))
+rng = jax.random.PRNGKey(int(cfg.get("Global", {}).get("seed", 42)))
+x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+init_rngs = {"params": rng, "dropout": rng, "shuffle": rng, "masking": rng, "aug": rng, "mixup": rng}
+init_params = jax.jit(functools.partial(model.init, train=False))(init_rngs, x)["params"]
+with open(out_dir + "/VisionTransformer.params", "rb") as f:
+    exported = serialization.msgpack_restore(f.read())
+fi = traverse_util.flatten_dict(init_params, sep="/")
+fe = traverse_util.flatten_dict(exported, sep="/")
+diff = sum(not np.allclose(np.asarray(fi[k]), np.asarray(fe[k])) for k in fi if k in fe)
+assert diff > 0, "export shipped fresh-init weights (no param differs from init)!"
+print(f"[TIPC] export carries trained weights: {diff}/{len(fi)} tensors differ from init")
 EOF
 
 echo "[TIPC] lifecycle PASSED"
