@@ -1,27 +1,56 @@
-"""Flagship benchmark: SimCLR ResNet-50 two-view pretrain step throughput.
+"""Benchmark suite: flagship throughput numbers on the attached chips.
 
-Matches BASELINE.json's metric ("R50 SSL pretrain images/sec/chip").
-Baseline: the reference's closest per-chip A100 number for a two-view
-R50 SSL step — SimSiam pretrain 1969.93 imgs/s on 8xA100 (BASELINE.md
-CI table) → 246.2 imgs/s/chip. vs_baseline = ours_per_chip / 246.2.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric is SimCLR ResNet-50 two-view pretrain imgs/s/chip
+(BASELINE.json's metric; reference per-chip A100 two-view R50 CI rate =
+1969.93/8 = 246.2 imgs/s, BASELINE.md). `extra` carries the secondary
+benches — ViT-B/16 224 bf16 classification train step (reference
+flagship: 3583 imgs/s on 8xA100 = 447.9/chip, tasks/classification/vit/
+README.md:75) with measured MFU from XLA's own cost analysis.
 
-Runs on whatever chips are attached (bench rig: 1x TPU v5e). Synthetic
-device-resident batches isolate the compute path (input pipeline is
-benchmarked separately by tests/perf utilities).
+Timing synchronizes via a literal value fetch (float()) — on the
+tunneled test platform block_until_ready returns before execution
+completes, so only a fetch is a true barrier.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Set PASSL_BENCH_FAST=1 to skip secondary benches (headline only).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-BASELINE_PER_CHIP = 1969.93 / 8  # A100 per-chip two-view R50 (SimSiam CI)
+SIMCLR_BASELINE_PER_CHIP = 1969.93 / 8  # A100 per-chip two-view R50 (SimSiam CI)
+VIT_BASELINE_PER_CHIP = 3583.0 / 8      # A100 per-chip ViT-B/16 224 pretrain
+PEAK_BF16 = float(os.environ.get("PASSL_PEAK_TFLOPS", "197")) * 1e12  # v5e bf16
 
 
-def main():
+def _compiled_flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _time_step(step, state, batch, iters=20, warmup=3):
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_simclr_r50():
+    import functools
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -35,8 +64,7 @@ def main():
 
     n_chips = len(jax.devices())
     mesh = dist.init_dist_env()
-    per_chip_batch = 128
-    batch = per_chip_batch * n_chips
+    batch = 128 * n_chips
 
     model = build_model({
         "name": "SimCLR",
@@ -47,10 +75,6 @@ def main():
     })
     rng = jax.random.PRNGKey(0)
     sample = (jnp.zeros((2, 224, 224, 3), jnp.bfloat16),) * 2
-    # jit the init: un-jitted tracing executes op-by-op (slow on a
-    # tunneled platform); jitted it is one XLA program.
-    import functools
-
     variables = jax.jit(functools.partial(model.init, train=True))(
         {"params": rng, "dropout": rng, "shuffle": rng}, sample
     )
@@ -64,33 +88,87 @@ def main():
     state = TrainState.create(params, model_state, opt.init(params), rng)
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
-    step = jax.jit(make_train_step(model, opt, lr_fn), donate_argnums=0)
     sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
     rs = np.random.RandomState(0)
     v1 = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
     v2 = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
 
-    # warmup/compile. NOTE: timing must synchronize via a literal value
-    # fetch — on the tunneled test platform block_until_ready returns
-    # before execution completes, so only float() is a true barrier.
-    for _ in range(3):
-        state, metrics = step(state, (v1, v2))
-    float(metrics["loss"])
+    lowered = jax.jit(make_train_step(model, opt, lr_fn), donate_argnums=0).lower(state, (v1, v2))
+    step = lowered.compile()
+    sec = _time_step(step, state, (v1, v2))
+    per_chip = batch / sec / n_chips
+    mfu = _compiled_flops(step) / sec / (PEAK_BF16 * n_chips)
+    return {"imgs_per_sec_per_chip": round(per_chip, 2), "mfu": round(mfu, 4),
+            "batch": batch, "n_chips": n_chips,
+            "vs_baseline": round(per_chip / SIMCLR_BASELINE_PER_CHIP, 3)}
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, (v1, v2))
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
 
-    imgs_per_sec = batch * iters / dt
-    per_chip = imgs_per_sec / n_chips
+def bench_vit_b16():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from passl_tpu import distributed as dist
+    from passl_tpu.core import TrainState
+    from passl_tpu.engine.steps import make_train_step
+    from passl_tpu.loss import build_loss
+    from passl_tpu.models import build_model
+    from passl_tpu.optimizer import build_optimizer
+    from passl_tpu.scheduler import build_lr_scheduler
+
+    n_chips = len(jax.devices())
+    mesh = dist.init_dist_env()
+    batch = 256 * n_chips  # reference CI runs ViT-B at global bs 4096 on 8 chips
+
+    model = build_model({"name": "ViT_base_patch16_224", "num_classes": 1000,
+                         "dtype": jnp.bfloat16})
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": rng, "dropout": rng}, x0)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+
+    criterion = build_loss([{"CELoss": {"label_smoothing": 0.1}}])
+    opt = build_optimizer({"name": "AdamW", "betas": (0.9, 0.999), "weight_decay": 0.3,
+                           "one_dim_param_no_weight_decay": True}, params)
+    lr_fn = build_lr_scheduler({"name": "ViTLRScheduler", "learning_rate": 3e-3,
+                                "warmup_steps": 10000}, epochs=300, steps_per_epoch=1000)
+    state = TrainState.create(params, model_state, opt.init(params), rng)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
+    rs = np.random.RandomState(0)
+    xb = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
+    yb = jax.device_put(np.asarray(rs.randint(0, 1000, batch), np.int32),
+                        NamedSharding(mesh, P(dist.DATA_AXES)))
+
+    lowered = jax.jit(make_train_step(model, opt, lr_fn, criterion=criterion),
+                      donate_argnums=0).lower(state, (xb, yb))
+    step = lowered.compile()
+    sec = _time_step(step, state, (xb, yb))
+    per_chip = batch / sec / n_chips
+    mfu = _compiled_flops(step) / sec / (PEAK_BF16 * n_chips)
+    return {"imgs_per_sec_per_chip": round(per_chip, 2), "mfu": round(mfu, 4),
+            "batch": batch, "n_chips": n_chips,
+            "vs_baseline": round(per_chip / VIT_BASELINE_PER_CHIP, 3)}
+
+
+def main():
+    extra = {}
+    if not os.environ.get("PASSL_BENCH_FAST"):
+        vit = bench_vit_b16()
+        extra = {f"vit_b16_224_{k}": v for k, v in vit.items()}
+    r = bench_simclr_r50()
     print(json.dumps({
         "metric": "simclr_r50_pretrain_imgs_per_sec_per_chip",
-        "value": round(per_chip, 2),
-        "unit": "imgs/s/chip (224px two-view, bf16, global bs %d, %d chips)" % (batch, n_chips),
-        "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
+        "value": r["imgs_per_sec_per_chip"],
+        "unit": "imgs/s/chip (224px two-view, bf16, global bs %d, %d chips)" % (
+            r["batch"], r["n_chips"]),
+        "vs_baseline": r["vs_baseline"],
+        "extra": {"simclr_r50_mfu": r["mfu"], **extra},
     }))
 
 

@@ -112,8 +112,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
     ap.add_argument("--case", default=None)
-    ap.add_argument("--ips-budget", type=float, default=0.5,
-                    help="min fraction of golden ips")
+    ap.add_argument("--ips-budget", type=float, default=0.9,
+                    help="min fraction of golden ips (reference case.sh "
+                         "enforces ±5%%; 0.9 leaves headroom for the "
+                         "tunneled platform's timing jitter)")
     args = ap.parse_args()
 
     import jax
