@@ -31,6 +31,12 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PIL = False
 
+try:
+    import cv2
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
 _PIL_INTERP = {}
 if _HAS_PIL:
     _PIL_INTERP = {
@@ -40,6 +46,54 @@ if _HAS_PIL:
         "lanczos": Image.LANCZOS,
         "random": None,  # chosen per call
     }
+_CV2_INTERP = {}
+if _HAS_CV2:
+    _CV2_INTERP = {
+        "nearest": cv2.INTER_NEAREST,
+        "bilinear": cv2.INTER_LINEAR,
+        "bicubic": cv2.INTER_CUBIC,
+        "lanczos": cv2.INTER_LANCZOS4,
+        "area": cv2.INTER_AREA,
+        "random": None,
+    }
+
+
+def _img_size(img) -> Tuple[int, int]:
+    """(w, h) for PIL images and HWC ndarrays alike."""
+    if isinstance(img, np.ndarray):
+        return img.shape[1], img.shape[0]
+    return img.size
+
+
+def _crop(img, x: int, y: int, w: int, h: int):
+    if isinstance(img, np.ndarray):
+        return img[y : y + h, x : x + w]
+    return img.crop((x, y, x + w, y + h))
+
+
+class UnifiedResize:
+    """Backend-dispatched resize (reference `basic_transforms.py:186-198`
+    UnifiedResize): `pil` → PIL.Image.resize, `cv2` → cv2.resize on the
+    ndarray. Several published recipes' aug parity depends on cv2's
+    resize kernel, which differs measurably from PIL's."""
+
+    def __init__(self, interpolation: str = "bilinear", backend: str = "pil"):
+        if backend == "cv2" and not _HAS_CV2:  # pragma: no cover
+            backend = "pil"
+        self.interpolation = interpolation
+        self.backend = backend
+
+    def __call__(self, img, size_wh: Tuple[int, int]):
+        if self.backend == "cv2":
+            arr = np.asarray(img)
+            interp = _CV2_INTERP.get(self.interpolation)
+            if interp is None:  # "random" or unknown
+                interp = random.choice([cv2.INTER_LINEAR, cv2.INTER_CUBIC]) \
+                    if self.interpolation == "random" else cv2.INTER_LINEAR
+            return cv2.resize(arr, size_wh, interpolation=interp)
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(img.astype(np.uint8))
+        return img.resize(size_wh, _interp(self.interpolation))
 
 
 class Compose:
@@ -64,12 +118,28 @@ class TwoViewsTransform:
 
 
 class DecodeImage:
-    """bytes/ndarray/PIL → PIL RGB."""
+    """bytes/ndarray/PIL → RGB image (reference DecodeImage:101).
+    backend 'pil' yields a PIL image; 'cv2' yields an RGB HWC uint8
+    ndarray decoded by cv2 — downstream ops accept either."""
 
     def __init__(self, to_rgb: bool = True, channel_first: bool = False, backend: str = "pil"):
         self.to_rgb = to_rgb
+        self.backend = backend if _HAS_CV2 or backend != "cv2" else "pil"
 
     def __call__(self, img):
+        if self.backend == "cv2":
+            if isinstance(img, bytes):
+                arr = cv2.imdecode(np.frombuffer(img, np.uint8), cv2.IMREAD_COLOR)
+                arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+            elif isinstance(img, np.ndarray):
+                arr = img.astype(np.uint8)
+            else:
+                if self.to_rgb and img.mode != "RGB":
+                    img = img.convert("RGB")
+                arr = np.asarray(img, np.uint8)
+            if self.to_rgb and arr.ndim == 2:
+                arr = np.repeat(arr[..., None], 3, -1)
+            return arr
         if isinstance(img, bytes):
             import io as _io
 
@@ -88,20 +158,20 @@ def _interp(interpolation: str):
 
 
 class Resize:
-    def __init__(self, size: Union[int, Sequence[int]], interpolation: str = "bilinear"):
+    def __init__(self, size: Union[int, Sequence[int]], interpolation: str = "bilinear",
+                 backend: str = "pil"):
         self.size = size
-        self.interpolation = interpolation
+        self._resize = UnifiedResize(interpolation, backend)
 
     def __call__(self, img):
-        interp = _interp(self.interpolation)
         if isinstance(self.size, int):
-            w, h = img.size
+            w, h = _img_size(img)
             if w < h:
                 ow, oh = self.size, int(self.size * h / w)
             else:
                 ow, oh = int(self.size * w / h), self.size
-            return img.resize((ow, oh), interp)
-        return img.resize((self.size[1], self.size[0]), interp)
+            return self._resize(img, (ow, oh))
+        return self._resize(img, (self.size[1], self.size[0]))
 
 
 ResizeImage = Resize
@@ -112,11 +182,11 @@ class CenterCrop:
         self.size = (size, size) if isinstance(size, int) else tuple(size)
 
     def __call__(self, img):
-        w, h = img.size
+        w, h = _img_size(img)
         th, tw = self.size
         x1 = int(round((w - tw) / 2.0))
         y1 = int(round((h - th) / 2.0))
-        return img.crop((x1, y1, x1 + tw, y1 + th))
+        return _crop(img, x1, y1, tw, th)
 
 
 class RandomResizedCrop:
@@ -128,14 +198,16 @@ class RandomResizedCrop:
         scale: Tuple[float, float] = (0.08, 1.0),
         ratio: Tuple[float, float] = (3.0 / 4, 4.0 / 3),
         interpolation: str = "bilinear",
+        backend: str = "pil",
     ):
         self.size = (size, size) if isinstance(size, int) else tuple(size)
         self.scale = scale
         self.ratio = ratio
         self.interpolation = interpolation
+        self._resize = UnifiedResize(interpolation, backend)
 
     def get_params(self, img):
-        w, h = img.size
+        w, h = _img_size(img)
         area = w * h
         log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
         for _ in range(10):
@@ -159,8 +231,8 @@ class RandomResizedCrop:
 
     def __call__(self, img):
         x, y, cw, ch = self.get_params(img)
-        img = img.crop((x, y, x + cw, y + ch))
-        return img.resize((self.size[1], self.size[0]), _interp(self.interpolation))
+        img = _crop(img, x, y, cw, ch)
+        return self._resize(img, (self.size[1], self.size[0]))
 
 
 class RandCropImage(RandomResizedCrop):
@@ -170,8 +242,9 @@ class RandCropImage(RandomResizedCrop):
 class MAERandCropImage(RandomResizedCrop):
     """MAE variant: scale (0.2, 1.0) default, bicubic."""
 
-    def __init__(self, size, scale=(0.2, 1.0), ratio=(3.0 / 4, 4.0 / 3), interpolation="bicubic"):
-        super().__init__(size, scale, ratio, interpolation)
+    def __init__(self, size, scale=(0.2, 1.0), ratio=(3.0 / 4, 4.0 / 3), interpolation="bicubic",
+                 backend="pil"):
+        super().__init__(size, scale, ratio, interpolation, backend)
 
 
 class RandFlipImage:
@@ -181,6 +254,8 @@ class RandFlipImage:
 
     def __call__(self, img):
         if random.random() < self.prob:
+            if isinstance(img, np.ndarray):
+                return img[:, ::-1] if self.flip_code == 1 else img[::-1]
             if self.flip_code == 1:
                 return img.transpose(Image.FLIP_LEFT_RIGHT)
             return img.transpose(Image.FLIP_TOP_BOTTOM)
@@ -228,8 +303,45 @@ class ColorJitter:
             img = op(img)
         return img
 
+    def _jitter_array(self, arr):
+        """cv2-backend jitter on uint8 HWC arrays (reference
+        preprocess/cv2_trans.py mirrors): same random order and factor
+        ranges, array arithmetic instead of ImageEnhance."""
+        arr = arr.astype(np.float32)
+        ops = []
+        if self.brightness > 0:
+            f = random.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda a: a * f)
+        if self.contrast > 0:
+            f = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+            # ImageEnhance.Contrast pivots on the mean of the L channel
+            ops.append(lambda a: (a - a.mean()) * f + a.mean())
+        if self.saturation > 0:
+            f = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+
+            def sat(a, f=f):
+                gray = a @ np.asarray([0.299, 0.587, 0.114], np.float32)
+                return a * f + gray[..., None] * (1 - f)
+
+            ops.append(sat)
+        if self.hue > 0:
+            h = random.uniform(-self.hue, self.hue)
+
+            def hue_op(a, h=h):
+                hsv = cv2.cvtColor(np.clip(a, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
+                hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(h * 180)) % 180
+                return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
+
+            ops.append(hue_op)
+        random.shuffle(ops)
+        for op in ops:
+            arr = op(arr)
+        return np.clip(arr, 0, 255).astype(np.uint8)
+
     def __call__(self, img):
         if random.random() < self.prob:
+            if isinstance(img, np.ndarray):
+                return self._jitter_array(img)
             return self._jitter(img)
         return img
 
@@ -252,6 +364,10 @@ class RandomGrayscale:
 
     def __call__(self, img):
         if random.random() < self.p:
+            if isinstance(img, np.ndarray):
+                gray = (img.astype(np.float32)
+                        @ np.asarray([0.299, 0.587, 0.114], np.float32))
+                return np.repeat(gray[..., None], 3, -1).astype(img.dtype)
             return ImageOps.grayscale(img).convert("RGB")
         return img
 
@@ -267,6 +383,8 @@ class SimCLRGaussianBlur:
     def __call__(self, img):
         if random.random() < self.p:
             s = random.uniform(*self.sigma)
+            if isinstance(img, np.ndarray):
+                return cv2.GaussianBlur(img, (0, 0), sigmaX=s)
             return img.filter(ImageFilter.GaussianBlur(radius=s))
         return img
 
@@ -281,6 +399,8 @@ class BYOLSolarize:
 
     def __call__(self, img):
         if random.random() < self.p:
+            if isinstance(img, np.ndarray):
+                return np.where(img >= self.threshold, 255 - img.astype(np.int16), img).astype(img.dtype)
             return ImageOps.solarize(img, self.threshold)
         return img
 
@@ -400,8 +520,8 @@ class RandomResizedCropWithCoords(RandomResizedCrop):
     def __call__(self, img):
         x, y, cw, ch = self.get_params(img)
         coord = np.asarray([x, y, x + cw, y + ch], np.float32)
-        img = img.crop((x, y, x + cw, y + ch))
-        img = img.resize((self.size[1], self.size[0]), _interp(self.interpolation))
+        img = _crop(img, x, y, cw, ch)
+        img = self._resize(img, (self.size[1], self.size[0]))
         return img, coord
 
 

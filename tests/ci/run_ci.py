@@ -84,6 +84,31 @@ CASES = {
     },
 }
 
+# classification zoo + SSL ft/lp twins (reference case.sh families:
+# ViT/DeiT/CaiT/Swin/ConvNeXt cls; MAE/ConvMAE/CAE/MoCoV3/SimSiam
+# pretrain+finetune+linearprobe; DINO/DINOv2 lp; BEiT ft) — each tiny
+# config names its production recipe in its header comment.
+_STD = ["Global.max_train_step=8", "Global.print_batch_step=100",
+        "Global.save_interval=0", "Global.epochs=2",
+        "Global.eval_during_train=False"]
+for _name, _cfg in {
+    "deit_tiny_cls": "configs/classification/deit_tiny_synthetic.yaml",
+    "cait_tiny_cls": "configs/classification/cait_tiny_synthetic.yaml",
+    "swin_tiny_cls": "configs/classification/swin_tiny_synthetic.yaml",
+    "convnext_tiny_cls": "configs/classification/convnext_tiny_synthetic.yaml",
+    "vit_tiny_ft48": "configs/classification/vit_tiny_ft48_synthetic.yaml",
+    "mae_tiny_ft": "configs/mae/mae_tiny_ft_synthetic.yaml",
+    "mae_tiny_lp": "configs/mae/mae_tiny_lp_synthetic.yaml",
+    "convmae_tiny_ft": "configs/convmae/convmae_tiny_ft_synthetic.yaml",
+    "cae_tiny_ft": "configs/cae/cae_tiny_ft_synthetic.yaml",
+    "beit_tiny_ft": "configs/beit/beit_tiny_ft_synthetic.yaml",
+    "mocov3_tiny_lp": "configs/mocov3/mocov3_tiny_lp_synthetic.yaml",
+    "dino_tiny_lp": "configs/dino/dino_tiny_lp_synthetic.yaml",
+    "dinov2_tiny_lp": "configs/dinov2/dinov2_tiny_lp_synthetic.yaml",
+    "simsiam_r18": "configs/simsiam/simsiam_r18_synthetic.yaml",
+}.items():
+    CASES[_name] = {"config": _cfg, "overrides": list(_STD)}
+
 
 def run_case(name: str, spec: dict) -> dict:
     from passl_tpu.engine import Engine
@@ -116,9 +141,19 @@ def main():
                     help="min fraction of golden ips (reference case.sh "
                          "enforces ±5%%; 0.9 leaves headroom for the "
                          "tunneled platform's timing jitter)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force platform (cpu = 8-device virtual mesh); "
+                         "default: whatever jax picks")
     args = ap.parse_args()
 
+    if args.platform == "cpu":
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8").strip()
     import jax
+
+    if args.platform == "cpu":
+        # env var alone is overridden by the axon sitecustomize
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.devices()[0].platform
     golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

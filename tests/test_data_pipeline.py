@@ -122,3 +122,79 @@ def test_loader_with_worker_pool():
     imgs, labels = batches[0]
     assert imgs.shape == (8, 8, 8, 3) and labels.shape == (8,)
     dl.close()
+
+
+def test_cv2_backend_parity():
+    """cv2 backend (reference UnifiedResize basic_transforms.py:186-198 +
+    preprocess/cv2_trans.py): crop-box distribution identical to PIL
+    (same sampler code/RNG stream), resize values within tolerance,
+    flip/solarize bit-equal, grayscale close."""
+    import random
+
+    from PIL import Image
+
+    from passl_tpu.data.transforms import (BYOLSolarize, DecodeImage,
+                                           RandFlipImage, RandomGrayscale,
+                                           RandomResizedCrop, Resize)
+
+    rs = np.random.RandomState(0)
+    raw = rs.randint(0, 256, (64, 80, 3), np.uint8)
+    pil = Image.fromarray(raw)
+
+    # identical RRC crop boxes: get_params consumes the same RNG stream
+    rrc_pil = RandomResizedCrop(32, backend="pil")
+    rrc_cv2 = RandomResizedCrop(32, backend="cv2")
+    random.seed(7)
+    boxes_pil = [rrc_pil.get_params(pil) for _ in range(200)]
+    random.seed(7)
+    boxes_cv2 = [rrc_cv2.get_params(raw) for _ in range(200)]
+    assert boxes_pil == boxes_cv2
+
+    # resize parity: smooth gradient image, bilinear, mean abs diff small
+    grad = np.tile(np.linspace(0, 255, 80, dtype=np.float32)[None, :, None], (64, 1, 3)).astype(np.uint8)
+    out_pil = np.asarray(Resize(32, backend="pil")(Image.fromarray(grad)), np.float32)
+    out_cv2 = np.asarray(Resize(32, backend="cv2")(grad), np.float32)
+    assert out_pil.shape == out_cv2.shape
+    assert np.abs(out_pil - out_cv2).mean() < 2.0
+
+    # flip: ndarray path mirrors the PIL path exactly
+    random.seed(1)
+    f_pil = np.asarray(RandFlipImage(prob=1.0)(pil))
+    f_cv2 = RandFlipImage(prob=1.0)(raw)
+    np.testing.assert_array_equal(f_pil, f_cv2)
+
+    # solarize: LUT-equal
+    s_pil = np.asarray(BYOLSolarize(threshold=128, p=1.0)(pil))
+    s_cv2 = BYOLSolarize(threshold=128, p=1.0)(raw)
+    np.testing.assert_array_equal(s_pil, s_cv2)
+
+    # grayscale: same ITU-R 601 luma, small rounding differences
+    g_pil = np.asarray(RandomGrayscale(p=1.0)(pil), np.float32)
+    g_cv2 = RandomGrayscale(p=1.0)(raw).astype(np.float32)
+    assert np.abs(g_pil - g_cv2).mean() < 1.0
+
+    # decode: cv2 backend yields ndarray, PIL backend a PIL image
+    assert isinstance(DecodeImage(backend="cv2")(raw), np.ndarray)
+    assert not isinstance(DecodeImage(backend="pil")(raw), np.ndarray)
+
+
+def test_cv2_full_pipeline_end_to_end():
+    """A cv2-backend transform stack runs through build_transform and
+    produces a normalized float array of the right shape."""
+    from passl_tpu.data.transforms import build_transform
+
+    t = build_transform([
+        {"DecodeImage": {"backend": "cv2"}},
+        {"RandomResizedCrop": {"size": 16, "backend": "cv2"}},
+        {"ColorJitter": {"brightness": 0.4, "contrast": 0.4, "saturation": 0.4,
+                         "hue": 0.1, "prob": 1.0}},
+        {"RandomGrayscale": {"prob": 0.2}},
+        {"SimCLRGaussianBlur": {"sigma": [0.1, 2.0], "p": 1.0}},
+        {"BYOLSolarize": {"threshold": 128, "p": 0.5}},
+        {"RandFlipImage": {"prob": 0.5}},
+        {"NormalizeImage": {"scale": 0.00392157}},
+    ])
+    rs = np.random.RandomState(1)
+    out = t(rs.randint(0, 256, (24, 24, 3), np.uint8))
+    assert out.shape == (16, 16, 3) and out.dtype == np.float32
+    assert np.isfinite(out).all()
