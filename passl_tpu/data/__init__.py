@@ -25,6 +25,10 @@ SAMPLERS = {
 def build_dataset(cfg: Dict[str, Any]):
     cfg = copy.deepcopy(dict(cfg))
     name = cfg.pop("name")
+    if name not in DATASETS and ("TokenLabel" in name or name.startswith("LVViT")):
+        from .datasets import _register_token_label
+
+        _register_token_label()
     if name == "SwAVMultiCropDataset" and isinstance(cfg.get("dataset"), dict):
         cfg["dataset"] = build_dataset(cfg["dataset"])
     return DATASETS[name](**cfg)

@@ -188,6 +188,16 @@ DATASETS = {
 }
 
 
+def _register_token_label():
+    # late import: token_label imports transforms helpers from here's
+    # sibling; registered lazily to avoid a cycle at module import
+    from .token_label import LVViTImageNetDataset, SyntheticTokenLabelDataset
+
+    DATASETS["LVViTImageNetDataset"] = LVViTImageNetDataset
+    DATASETS["LVViT_ImageNet"] = LVViTImageNetDataset  # reference name
+    DATASETS["SyntheticTokenLabelDataset"] = SyntheticTokenLabelDataset
+
+
 class TextImageDataset(Dataset):
     """Image-caption pairs for CLIP (reference
     passl_v110/datasets/textimagedataset.py): an annotation file with

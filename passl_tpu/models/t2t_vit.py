@@ -163,6 +163,136 @@ class LVViT(Model):
         return cls_logits + self.aux_weight * jnp.max(aux_logits, axis=1)
 
 
+@register_model
+class LVViTTokenLabel(Model):
+    """LV-ViT token-labeling trainer (reference LVViTWrapper + LVViTLoss,
+    `passl_v110/modeling/architectures/LVViTWrapper.py:26-200`, over
+    `lvdataset.py` score maps). TPU-native design: the whole objective
+    is in-graph —
+
+    - **MixToken**: CutMix on the *patch token grid* (one box per batch,
+      partner = the batch reversed, matching the reference's
+      `target.flip(0)`), built from iota comparisons so shapes stay
+      static under jit; the box also mixes the aux token targets and the
+      realized area mixes the class targets.
+    - **sparse soft-CE**: the label maps carry top-K (value, index)
+      pairs; instead of scattering to dense [B,N,C] targets, the loss
+      gathers log-softmax at the K indices — O(K) not O(C) HBM traffic.
+
+    Batch: {'image', 'label', 'token_value' [g,g,K], 'token_idx'} from
+    LVViTImageNetDataset / SyntheticTokenLabelDataset. Param tree is
+    identical to `LVViT`, so weights transfer to/from the plain
+    classifier for eval/export.
+    """
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 16
+    num_heads: int = 6
+    mlp_ratio: float = 3.0
+    drop_path_rate: float = 0.1
+    num_classes: int = 1000
+    cls_weight: float = 1.0
+    dense_weight: float = 0.5
+    mix_prob: float = 0.5
+    label_smoothing: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        x = batch["image"] if isinstance(batch, dict) else batch
+        n = x.shape[0]
+        x = x.astype(self.dtype)
+        dims, strides = (64, 64, 64), (2, 1, 1)
+        for i, (dch, s) in enumerate(zip(dims, strides)):
+            x = nn.Conv(dch, (7 if i == 0 else 3,) * 2, strides=(s, s),
+                        padding=3 if i == 0 else 1, use_bias=False,
+                        dtype=self.dtype, name=f"stem_conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, name=f"stem_bn{i}")(x)
+            x = nn.relu(x)
+        p = self.patch_size // 2
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, name="patch_proj")(x)
+        gh, gw = x.shape[1], x.shape[2]
+
+        # ---- MixToken on the patch grid (reference mixes tokens pre-
+        # transformer and hands the box to the loss)
+        mixed = train and isinstance(batch, dict)
+        if mixed:
+            rng = self.make_rng("mixup")
+            r_lam, r_x, r_y, r_on = jax.random.split(rng, 4)
+            lam = jax.random.beta(r_lam, 1.0, 1.0)
+            cut = jnp.sqrt(1.0 - lam)
+            cw = (cut * gw).astype(jnp.int32)
+            ch = (cut * gh).astype(jnp.int32)
+            cx = jax.random.randint(r_x, (), 0, gw)
+            cy = jax.random.randint(r_y, (), 0, gh)
+            x1 = jnp.clip(cx - cw // 2, 0, gw)
+            x2 = jnp.clip(cx + cw // 2, 0, gw)
+            y1 = jnp.clip(cy - ch // 2, 0, gh)
+            y2 = jnp.clip(cy + ch // 2, 0, gh)
+            on = (jax.random.uniform(r_on) < self.mix_prob)
+            col = jnp.arange(gw)
+            row = jnp.arange(gh)
+            box = ((col >= x1) & (col < x2))[None, :] & ((row >= y1) & (row < y2))[:, None]
+            box = box & on  # [gh, gw]
+            x = jnp.where(box[None, :, :, None], x[::-1], x)
+        x = x.reshape(n, gh * gw, self.embed_dim)
+
+        cls_token = self.param("cls_token", tinit.trunc_normal_(std=0.02),
+                               (1, 1, self.embed_dim), jnp.float32)
+        pos = self.param("pos_embed", tinit.trunc_normal_(std=0.02),
+                         (1, gh * gw + 1, self.embed_dim), jnp.float32)
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1) + pos.astype(x.dtype)
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        for i in range(self.depth):
+            x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=False,
+                      drop_path=float(dpr[i]), dtype=self.dtype,
+                      name=f"blocks_{i}")(x, not train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        head = nn.Dense(self.num_classes, dtype=self.dtype,
+                        kernel_init=tinit.trunc_normal_(std=0.02), name="head")
+        aux_head = nn.Dense(self.num_classes, dtype=self.dtype,
+                            kernel_init=tinit.trunc_normal_(std=0.02), name="aux_head")
+        cls_logits = head(x[:, 0]).astype(jnp.float32)
+        aux_logits = aux_head(x[:, 1:]).astype(jnp.float32)
+
+        if not train or not isinstance(batch, dict):
+            return cls_logits + self.dense_weight * jnp.max(aux_logits, axis=1)
+
+        labels = batch["label"]
+        tv = batch["token_value"].astype(jnp.float32)   # [n, g, g, K]
+        ti = batch["token_idx"]
+        if mixed:
+            tv = jnp.where(box[None, :, :, None], tv[::-1], tv)
+            ti = jnp.where(box[None, :, :, None], ti[::-1], ti)
+            lam_real = 1.0 - box.astype(jnp.float32).mean()
+        else:
+            lam_real = jnp.float32(1.0)
+        tv = tv.reshape(n, gh * gw, -1)
+        ti = ti.reshape(n, gh * gw, -1)
+
+        # class loss: smoothed one-hot, mixed by the realized box area
+        # (reference: lam * target_cls + (1-lam) * target_cls.flip(0))
+        off = self.label_smoothing / self.num_classes
+        onehot = jax.nn.one_hot(labels, self.num_classes) * (1.0 - self.label_smoothing) + off
+        target_cls = lam_real * onehot + (1.0 - lam_real) * onehot[::-1]
+        logp = jax.nn.log_softmax(cls_logits, axis=-1)
+        loss_cls = -(target_cls * logp).sum(-1).mean()
+
+        # aux token loss: gather log-softmax at the top-K label indices
+        logp_aux = jax.nn.log_softmax(aux_logits, axis=-1)       # [n, N, C]
+        picked = jnp.take_along_axis(logp_aux, ti, axis=-1)      # [n, N, K]
+        loss_aux = -(tv * picked).sum(-1).mean()
+
+        loss = self.cls_weight * loss_cls + self.dense_weight * loss_aux
+        acc1 = (jnp.argmax(cls_logits, -1) == labels).astype(jnp.float32).mean()
+        return {"loss": loss, "loss_cls": loss_cls, "loss_aux": loss_aux, "acc1": acc1}
+
+
 for _name, _cfg in {
     "t2t_vit_14": dict(embed_dim=384, depth=14, num_heads=6),
     "t2t_vit_19": dict(embed_dim=448, depth=19, num_heads=7),

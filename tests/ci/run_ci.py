@@ -106,6 +106,7 @@ for _name, _cfg in {
     "dino_tiny_lp": "configs/dino/dino_tiny_lp_synthetic.yaml",
     "dinov2_tiny_lp": "configs/dinov2/dinov2_tiny_lp_synthetic.yaml",
     "simsiam_r18": "configs/simsiam/simsiam_r18_synthetic.yaml",
+    "lvvit_tiny_tl": "configs/lvvit/lvvit_tiny_token_label_synthetic.yaml",
 }.items():
     CASES[_name] = {"config": _cfg, "overrides": list(_STD)}
 
