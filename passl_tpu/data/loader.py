@@ -177,24 +177,64 @@ class DataLoader:
             samples = pool.map(_worker_fetch, [int(i) for i in indices])
         else:
             samples = [self.dataset[int(i)] for i in indices]
+        return self._finalize(samples)
+
+    def _finalize(self, samples):
         batch = self.collate_fn(samples)
         if self.batch_transform is not None:
             batch = self.batch_transform(batch)
         return batch
 
+    def _iter_pipelined(self, batches):
+        """Per-sample pipelined fetch: up to `prefetch+1` batches of
+        per-sample tasks are in flight at once, so workers never idle at
+        batch boundaries (a per-batch pool.map barriers every worker on
+        the slowest sample — the reference leans on paddle's C++
+        DataLoader for the same reason, data/__init__.py:72-80)."""
+        import collections
+
+        pool = self._get_pool()
+        depth = max(self.prefetch, 1) + 1
+        pending = collections.deque()
+        it = iter(batches)
+
+        def submit():
+            try:
+                idxs = next(it)
+            except StopIteration:
+                return False
+            pending.append([pool.apply_async(_worker_fetch, (int(i),)) for i in idxs])
+            return True
+
+        for _ in range(depth):
+            if not submit():
+                break
+        while pending:
+            results = pending.popleft()
+            samples = [r.get() for r in results]
+            submit()
+            yield self._finalize(samples)
+
     def __iter__(self):
         batches = list(self.batch_sampler)
-        if self.prefetch <= 0:
+        if self.num_workers > 0 and self.prefetch > 0:
+            # collate/batch_transform overlap with the next yield via the
+            # prefetch thread below; worker decode overlaps via _iter_pipelined
+            gen = self._iter_pipelined(batches)
+        elif self.prefetch <= 0:
             for b in batches:
                 yield self._fetch_batch(b)
             return
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        else:
+            gen = (self._fetch_batch(b) for b in batches)
+
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = object()
 
         def producer():
             try:
-                for b in batches:
-                    q.put(self._fetch_batch(b))
+                for item in gen:
+                    q.put(item)
             finally:
                 q.put(stop)
 

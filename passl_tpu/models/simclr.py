@@ -82,6 +82,8 @@ class SimCLR(Model):
     neck: Any = None
     temperature: float = 0.5
     co2_weight: float = 3.0
+    use_device_augment: bool = False  # host ships uint8 RRC crops; jitter/gray/blur fused on device
+    jitter_strength: float = 0.5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,6 +92,13 @@ class SimCLR(Model):
             x1, x2 = batch["view1"], batch["view2"]
         else:
             x1, x2 = batch[0], batch[1]
+        if self.use_device_augment:
+            from ..ops.augment import simclr_device_augment
+
+            x1, x2 = simclr_device_augment(x1, x2, self.make_rng("aug"),
+                                           jitter_strength=self.jitter_strength)
+            x1 = x1.astype(self.dtype)
+            x2 = x2.astype(self.dtype)
         backbone = build_submodule(self.backbone, dtype=self.dtype, name="backbone")
         neck = build_submodule(self.neck, dtype=self.dtype, name="neck")
         # concat views so BN stats span both (reference simclr.py concat)

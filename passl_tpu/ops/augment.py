@@ -145,6 +145,27 @@ def color_jitter(
     return jnp.where(mask, jnp.clip(x, 0.0, 1.0), orig)
 
 
+def simclr_device_augment(v1: jnp.ndarray, v2: jnp.ndarray, rng,
+                          jitter_strength: float = 0.5,
+                          mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """SimCLR's photometric augs on-device: color jitter (p=0.8, strength
+    s scaling 0.8s/0.8s/0.8s/0.2s), grayscale (p=0.2), gaussian blur
+    (p=0.5) — the host pipeline does only decode + RRC + flip and ships
+    uint8, cutting host CPU and host→device bytes 4x (reference CPU-side
+    SimCLRGaussianBlur/ColorJitter, basic_transforms.py:770,909)."""
+    s = jitter_strength
+    outs = []
+    for i, v in enumerate((v1, v2)):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, i), 3)
+        x = to_float(v)
+        x = color_jitter(x, k1, brightness=0.8 * s, contrast=0.8 * s,
+                         saturation=0.8 * s, hue=0.2 * s, prob=0.8)
+        x = random_grayscale(x, k2, prob=0.2)
+        x = random_gaussian_blur(x, k3, prob=0.5)
+        outs.append(normalize(x, mean, std))
+    return tuple(outs)
+
+
 def byol_device_augment(v1: jnp.ndarray, v2: jnp.ndarray, rng,
                         mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """The reference BYOL recipe (BYOL.py:239): view1 blur p=1.0,

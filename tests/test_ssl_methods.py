@@ -243,3 +243,17 @@ def test_dinov2_pretrain_ibot(mesh):
         outs.append({k: float(v) for k, v in m.items() if "loss" in k})
     assert all(np.isfinite(list(o.values())).all() for o in outs)
     assert {"dino_loss", "ibot_loss", "koleo_loss"} <= set(outs[0])
+
+
+def test_simclr_device_augment_trains(mesh):
+    """uint8 views in, device-side jitter/gray/blur/normalize in-graph."""
+    model = build_model({
+        "name": "SimCLR", "backbone": BACKBONE,
+        "neck": {"name": "NonLinearNeckfc3", "hid_channels": 64, "out_channels": 32},
+        "temperature": 0.5, "use_device_augment": True, "jitter_strength": 1.0,
+    })
+    rs = np.random.RandomState(4)
+    batch = (jnp.asarray(rs.randint(0, 256, (8, 32, 32, 3), np.uint8)),
+             jnp.asarray(rs.randint(0, 256, (8, 32, 32, 3), np.uint8)))
+    state, losses = _train(model, batch, steps=2)
+    assert np.isfinite(losses).all()
