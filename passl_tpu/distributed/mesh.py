@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DP_AXIS = "dp"
 FSDP_AXIS = "fsdp"
 TP_AXIS = "tp"
+PP_AXIS = "pp"
 MESH_AXES = (DP_AXIS, FSDP_AXIS, TP_AXIS)
 # Axes over which the (global) batch is split: dp and fsdp both consume data.
 DATA_AXES = (DP_AXIS, FSDP_AXIS)
@@ -41,22 +42,30 @@ def build_mesh(
     dp: int = -1,
     fsdp: int = 1,
     tp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
+    """pp > 1 adds a `pp` axis for pipeline parallelism (the reference
+    only threads pp_degree through env+seeds, env.py:306-332; here
+    `distributed/pipeline.py` actually schedules over the axis)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"dp*fsdp*tp={dp * fsdp * tp} != {n} devices"
+        assert n % (fsdp * tp * pp) == 0, \
+            f"{n} devices not divisible by pp*fsdp*tp={pp * fsdp * tp}"
+        dp = n // (fsdp * tp * pp)
+    assert dp * fsdp * tp * pp == n, f"dp*pp*fsdp*tp={dp * pp * fsdp * tp} != {n} devices"
+    if pp > 1:
+        dev_array = np.asarray(devices).reshape(dp, pp, fsdp, tp)
+        return Mesh(dev_array, (DP_AXIS, PP_AXIS, FSDP_AXIS, TP_AXIS))
     dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
     return Mesh(dev_array, MESH_AXES)
 
 
-def init_dist_env(dp: int = -1, fsdp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def init_dist_env(dp: int = -1, fsdp: int = 1, tp: int = 1, pp: int = 1, devices=None) -> Mesh:
     """Build and install the global mesh (reference init_dist_env)."""
     global _global_mesh
-    _global_mesh = build_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devices)
+    _global_mesh = build_mesh(dp=dp, fsdp=fsdp, tp=tp, pp=pp, devices=devices)
     return _global_mesh
 
 

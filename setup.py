@@ -14,6 +14,7 @@ setup(
             "passl-train = passl_tpu.tools.train:main",
             "passl-eval = passl_tpu.tools.eval:main",
             "passl-export = passl_tpu.tools.export:main",
+            "passl-predict = passl_tpu.tools.predict:main",
         ]
     },
 )
