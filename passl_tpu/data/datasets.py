@@ -33,10 +33,12 @@ class Dataset:
 class ImageFolder(Dataset):
     """class-per-subdir layout (reference imagefolder_dataset.py)."""
 
-    def __init__(self, root: str, transform=None, with_label: bool = True):
+    def __init__(self, root: str, transform=None, with_label: bool = True,
+                 raw_bytes: bool = False):
         self.root = root
         self.transform = build_transform(transform)
         self.with_label = with_label
+        self.raw_bytes = raw_bytes
         classes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
@@ -52,6 +54,11 @@ class ImageFolder(Dataset):
         return len(self.samples)
 
     def _load(self, path):
+        if getattr(self, "raw_bytes", False):
+            # undecoded JPEG bytes for the native C++ decode path
+            # (transforms like NativeJpegRRC / DecodeImage consume them)
+            with open(path, "rb") as f:
+                return f.read()
         from PIL import Image
 
         with open(path, "rb") as f:
@@ -68,10 +75,12 @@ class ImageNetDataset(ImageFolder):
     """Annotation-list dataset: `<rel_path> <label>` per line
     (reference imagenet_dataset.py:23-55)."""
 
-    def __init__(self, image_root: str, cls_label_path: str, transform=None, with_label: bool = True):
+    def __init__(self, image_root: str, cls_label_path: str, transform=None,
+                 with_label: bool = True, raw_bytes: bool = False):
         self.root = image_root
         self.transform = build_transform(transform)
         self.with_label = with_label
+        self.raw_bytes = raw_bytes
         self.samples = []
         with open(cls_label_path) as f:
             for line in f:

@@ -543,3 +543,23 @@ class PixProTwoViewsTransform:
 
 TRANSFORMS["RandomResizedCropWithCoords"] = RandomResizedCropWithCoords
 TRANSFORMS["PixProTwoViewsTransform"] = PixProTwoViewsTransform
+
+
+class _LazyNativeJpegRRC:
+    """Config-facing shim: resolves the C++ decoder on first use so
+    importing transforms never requires the native toolchain."""
+
+    def __init__(self, **kwargs):
+        from ..native import NativeJpegRRC, available
+
+        if not available():
+            raise RuntimeError(
+                "native decoder unavailable (g++/libjpeg missing?) — use "
+                "DecodeImage+RandomResizedCrop instead of NativeJpegRRC")
+        self._op = NativeJpegRRC(**kwargs)
+
+    def __call__(self, buf):
+        return self._op(buf)
+
+
+TRANSFORMS["NativeJpegRRC"] = _LazyNativeJpegRRC

@@ -78,16 +78,26 @@ RECIPES = {
             {"RandFlipImage": {"prob": 0.5}},
         ]}},
     ],
+    # C++ path: raw JPEG bytes -> libjpeg DCT-scaled decode + crop +
+    # resize + flip, all in native code (passl_tpu/native/decode.cc)
+    "native": [
+        {"TwoViewsTransform": {"base_transform1": [
+            {"NativeJpegRRC": {"size": 224, "scale": [0.2, 1.0]}},
+        ]}},
+    ],
 }
+RAW_BYTES_RECIPES = {"native"}
 
 
 def bench(list_path: str, root: str, recipe, workers: int, batch: int = 64,
-          warm_batches: int = 2, timed_batches: int = 8) -> float:
+          warm_batches: int = 2, timed_batches: int = 8,
+          raw_bytes: bool = False) -> float:
     from passl_tpu.data import build_dataloader
 
     dl = build_dataloader({
         "dataset": {"name": "ImageNetDataset", "image_root": root,
-                    "cls_label_path": list_path, "transform": recipe},
+                    "cls_label_path": list_path, "transform": recipe,
+                    "raw_bytes": raw_bytes},
         "sampler": {"batch_size": batch, "shuffle": True, "drop_last": True},
         "loader": {"num_workers": workers, "prefetch": 4},
     }, "Train", seed=0)
@@ -117,7 +127,15 @@ def main():
     print(f"{'recipe':<10} " + " ".join(f"w={w:<3}" for w in args.workers)
           + "   (imgs/s; two views count as one img)")
     for name, recipe in RECIPES.items():
-        rates = [bench(list_path, args.root, recipe, w) for w in args.workers]
+        if name in RAW_BYTES_RECIPES:
+            from passl_tpu import native
+
+            if not native.available():
+                print(f"{name:<10} (native toolchain unavailable — skipped)")
+                continue
+        rates = [bench(list_path, args.root, recipe, w,
+                       raw_bytes=name in RAW_BYTES_RECIPES)
+                 for w in args.workers]
         print(f"{name:<10} " + " ".join(f"{r:7.0f}" for r in rates))
 
 
