@@ -64,14 +64,26 @@ class TrainingEpochLoop(_Loop):
     def run(self):
         e = self.engine
         start_epoch = 1
+        skip_steps = 0
         if e.checkpoint_path:
             e.state = io.load_checkpoint(e.checkpoint_path, e.state)
-            start_epoch = int(e.state.step) // max(e.steps_per_epoch, 1) + 1
+            spe = max(e.steps_per_epoch, 1)
+            done = int(e.state.step)
+            start_epoch = done // spe + 1
+            # mid-epoch resume: fast-forward past the already-trained
+            # batches of the partial epoch instead of replaying them
+            # (the reference replays the partial epoch, loop.py:358-375)
+            skip_steps = done % spe
+            if skip_steps:
+                start_epoch = done // spe + 1
+                logger.info(f"mid-epoch resume: skipping {skip_steps} "
+                            f"already-trained batches of epoch {start_epoch}")
         e.hooks.call("train_begin", e)
         for epoch in range(start_epoch, e.epochs + 1):
             e.train_dataloader.set_epoch(epoch)
             e.hooks.call("epoch_begin", e, epoch)
-            stop = self.train_one_epoch(epoch)
+            stop = self.train_one_epoch(epoch, skip_steps=skip_steps)
+            skip_steps = 0
             e.hooks.call("epoch_end", e, epoch)
             if e.eval_during_train and e.eval_unit == "epoch" and epoch % e.eval_interval == 0:
                 self._run_eval(epoch)
@@ -90,13 +102,16 @@ class TrainingEpochLoop(_Loop):
 
     last_metrics: Optional[Dict[str, Any]] = None  # for CI golden checks
 
-    def train_one_epoch(self, epoch: int) -> bool:
+    def train_one_epoch(self, epoch: int, skip_steps: int = 0) -> bool:
         e = self.engine
         self.reset_time_info()
         tic = time.perf_counter()
         metrics = None
         steps_per_epoch = len(e.train_dataloader)
         for i, batch in enumerate(e.train_dataloader):
+            if i < skip_steps:
+                tic = time.perf_counter()
+                continue
             self.time_info["reader_cost"].update(time.perf_counter() - tic)
             gbatch = e.shard_batch(batch)
             e.state, metrics = e.train_step(e.state, gbatch)
