@@ -198,3 +198,31 @@ def test_cv2_full_pipeline_end_to_end():
     out = t(rs.randint(0, 256, (24, 24, 3), np.uint8))
     assert out.shape == (16, 16, 3) and out.dtype == np.float32
     assert np.isfinite(out).all()
+
+
+def test_pipelined_pool_preserves_batch_order_and_content():
+    """The per-sample pipelined pool must yield the same batches in the
+    same order as the sequential path (deterministic transform)."""
+    from passl_tpu.data import build_dataloader
+
+    def make(workers):
+        return build_dataloader({
+            "dataset": {"name": "SyntheticDataset", "size": 48, "image_size": 8,
+                        "num_classes": 3,
+                        "transform": [{"NormalizeImage": {"scale": 0.00392157}}]},
+            "sampler": {"batch_size": 8, "shuffle": True, "drop_last": True},
+            "loader": {"num_workers": workers, "prefetch": 3},
+        }, "Train", seed=11)
+
+    seq = make(0)
+    par = make(2)
+    seq.set_epoch(1)
+    par.set_epoch(1)
+    a = list(seq)
+    b = list(par)
+    assert len(a) == len(b) == 6
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_allclose(ia, ib)
+    seq.close()
+    par.close()
