@@ -95,6 +95,22 @@ class SmoothedValue:
         self.total = 0.0
         self.count = 0
 
+    def synchronize_between_processes(self):
+        """All-reduce count/total across hosts (reference
+        misc.py:110) so the global average reflects every process; the
+        sliding window stays local. No-op single-process."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+        import numpy as np
+
+        vals = multihost_utils.process_allgather(
+            np.asarray([self.count, self.total], np.float64))
+        self.count = int(vals[:, 0].sum())
+        self.total = float(vals[:, 1].sum())
+
     @property
     def median(self) -> float:
         if not self.deque:
