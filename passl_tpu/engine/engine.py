@@ -188,7 +188,9 @@ class Engine:
             overrides = self.model.optimizer_overrides()
             if overrides:
                 opt_cfg["param_group"] = list(opt_cfg.get("param_group", []) or []) + overrides
-        self.optimizer = build_optimizer(opt_cfg, params, frozen_patterns=frozen, num_layers=num_layers)
+        self.optimizer = build_optimizer(
+            opt_cfg, params, frozen_patterns=frozen, num_layers=num_layers,
+            lr_args=(self.epochs, max(self.steps_per_epoch, 1)))
         logger.info(f"optimizer groups: {self.optimizer.describe()}")
 
         # ---- pretrained (params + bundled BN running stats if present)

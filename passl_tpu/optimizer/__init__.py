@@ -45,6 +45,7 @@ def build_optimizer(
     params,
     frozen_patterns: Optional[List[str]] = None,
     num_layers: int = 0,
+    lr_args: Optional[tuple] = None,
 ) -> ParamGroupOptimizer:
     """config keys (mirroring the reference YAML surface):
       name: AdamW | Momentum | MomentumLARS | MomentumLARC | Adan | Adafactor
@@ -52,7 +53,11 @@ def build_optimizer(
       no_weight_decay_name: ["pos_embed", "cls_token", ...]  (substring/regex)
       one_dim_param_no_weight_decay: bool  (bias/norm params get wd=0)
       layerwise_decay: float  (with num_layers, ViT finetune)
-      param_group: [{name: regex, lr_scale: f, weight_decay: f}, ...]
+      param_group: [{name: regex, lr_scale: f, weight_decay: f,
+                     lr_func: {name: ..., learning_rate: ...}}, ...]
+          lr_func gives the group its OWN schedule (reference LRCallable,
+          optimizer/__init__.py:42-67); needs `lr_args =
+          (epochs, steps_per_epoch[, batch_size])` from the caller.
       + rule hyperparams (betas/eps/momentum/...)
     """
     cfg = copy.deepcopy(dict(config))
@@ -68,16 +73,30 @@ def build_optimizer(
 
     rule = _make_rule(name, cfg)
 
+    # per-group scheduler overrides (reference LRCallable)
+    group_lr_fns: Dict[str, Any] = {}
+    for cg in custom_groups:
+        lf = cg.pop("lr_func", None) or cg.pop("lr_scheduler", None)
+        if lf is not None:
+            if callable(lf):
+                group_lr_fns[cg["name"]] = lf
+            else:
+                from ..scheduler import build_lr_scheduler
+
+                args = lr_args or (1, 1)
+                group_lr_fns[cg["name"]] = build_lr_scheduler(dict(lf), *args)
+
     groups: List[Group] = []
     group_index: Dict[tuple, int] = {}
 
-    def get_group(gname: str, wd: float, lr_scale: float, freeze_steps: int = 0) -> int:
+    def get_group(gname: str, wd: float, lr_scale: float, freeze_steps: int = 0,
+                  lr_fn=None) -> int:
         key = (gname, wd, lr_scale, freeze_steps)
         if key not in group_index:
             r = Frozen() if gname == "frozen" else rule
             group_index[key] = len(groups)
             groups.append(Group(name=gname, rule=r, weight_decay=wd, lr_scale=lr_scale,
-                                freeze_steps=freeze_steps))
+                                freeze_steps=freeze_steps, lr_fn=lr_fn))
         return group_index[key]
 
     flat = traverse_util.flatten_dict(params, sep="/")
@@ -89,6 +108,7 @@ def build_optimizer(
         wd = base_wd
         lr_scale = 1.0
         freeze_steps = 0
+        lr_fn = None
         gname = "default"
         # custom regex groups take precedence (reference group_params)
         for cg in custom_groups:
@@ -96,6 +116,7 @@ def build_optimizer(
                 wd = float(cg.get("weight_decay", base_wd))
                 lr_scale = float(cg.get("lr_scale", 1.0))
                 freeze_steps = int(cg.get("freeze_steps", 0))
+                lr_fn = group_lr_fns.get(cg["name"])
                 gname = cg["name"]
                 break
         if no_wd_names and match_any(path, no_wd_names):
@@ -108,6 +129,6 @@ def build_optimizer(
             lid = layer_id_from_path(path, num_layers)
             lr_scale *= float(layerwise_decay) ** (num_layers + 1 - lid)
             gname += f"|layer{lid}"
-        assignment[path] = get_group(gname, wd, lr_scale, freeze_steps)
+        assignment[path] = get_group(gname, wd, lr_scale, freeze_steps, lr_fn)
 
     return ParamGroupOptimizer(groups, assignment)

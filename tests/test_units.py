@@ -199,3 +199,27 @@ def test_autoaugment_ops_run():
         assert out.size == (32, 32)
     ra = rand_augment_transform("rand-m7-n3-mstd0.5")
     assert ra.num_layers == 3 and ra.magnitude == 7 and ra.magnitude_std == 0.5
+
+
+def test_per_group_lr_func_override():
+    """A param group can carry its OWN schedule (reference LRCallable,
+    optimizer/__init__.py:42-67): matched params step with it, others
+    with the global lr."""
+    import jax.numpy as jnp
+
+    from passl_tpu.optimizer import build_optimizer
+
+    params = {"head": {"kernel": jnp.ones((4, 2))},
+              "body": {"kernel": jnp.ones((4, 2))}}
+    opt = build_optimizer({
+        "name": "Momentum", "momentum": 0.0,
+        "param_group": [{"name": r"^head/",
+                         "lr_func": {"name": "Constant", "learning_rate": 0.5}}],
+    }, params, lr_args=(1, 1))
+    grads = {"head": {"kernel": jnp.ones((4, 2))},
+             "body": {"kernel": jnp.ones((4, 2))}}
+    state = opt.init(params)
+    new_p, _ = opt.apply(params, grads, state, jnp.float32(0.1), jnp.int32(0))
+    # head stepped with its own 0.5 lr; body with the global 0.1
+    assert float(new_p["head"]["kernel"][0, 0]) == pytest.approx(0.5)
+    assert float(new_p["body"]["kernel"][0, 0]) == pytest.approx(0.9)
