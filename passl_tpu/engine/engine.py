@@ -41,6 +41,36 @@ from .steps import (ema_momentum_schedule, make_eval_metrics_step,
                     make_eval_step, make_train_step)
 
 
+def _maybe_init_multihost():
+    """Multi-host bring-up (replaces `paddle.distributed.launch` env
+    plumbing, SURVEY §3.1): on TPU pods `jax.distributed.initialize()`
+    auto-discovers peers from the TPU metadata; elsewhere it needs
+    coordinator env vars. Opt-in via env so single-host runs (and tests)
+    never touch the distributed service:
+      PASSL_MULTIHOST=1                         (TPU pod auto-discovery)
+      or JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID set.
+    """
+    # NOTE: must run before the first backend touch (jax.devices() etc.)
+    # — do not query process_count() here, it would initialize the
+    # single-host backend and make distributed.initialize() fail.
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if not coord and os.environ.get("PASSL_MULTIHOST") != "1":
+        return
+    import jax
+
+    try:
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            )
+        else:
+            jax.distributed.initialize()  # TPU pod auto-discovery
+    except RuntimeError as e:  # already initialized (external launcher)
+        logger.warning(f"jax.distributed.initialize skipped: {e}")
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: first-compile of a train step
     can take minutes on TPU; cached recompiles are seconds."""
@@ -54,6 +84,7 @@ def _enable_compile_cache():
 
 class Engine:
     def __init__(self, config: Dict[str, Any], mode: str = "train"):
+        _maybe_init_multihost()
         _enable_compile_cache()
         self.config = config
         self.mode = mode
@@ -92,6 +123,7 @@ class Engine:
         self.accum_steps = int(g.get("accum_steps", 1))
         self.max_train_step = g.get("max_train_step", None)
         self.checkpoint_path = g.get("checkpoint", None)
+        self.save_on_interrupt = bool(g.get("save_on_interrupt", True))
         self.pretrained_model = g.get("pretrained_model", None)
         self.profiler_options = g.get("profiler_options", None)
         self.seed = int(g.get("seed", 42))

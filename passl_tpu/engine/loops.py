@@ -78,6 +78,25 @@ class TrainingEpochLoop(_Loop):
                 start_epoch = done // spe + 1
                 logger.info(f"mid-epoch resume: skipping {skip_steps} "
                             f"already-trained batches of epoch {start_epoch}")
+        # preemption safety (beyond the reference, which only resumes):
+        # SIGTERM/SIGINT set a flag; the loop finishes the in-flight
+        # step, checkpoints `latest`, and exits 0 so a relaunch resumes
+        self._interrupted = False
+        old_handlers = {}
+        if getattr(e, "save_on_interrupt", True):
+            import signal
+
+            def _on_signal(signum, frame):
+                self._interrupted = True
+                logger.warning(f"signal {signum}: checkpointing and exiting "
+                               f"at the next step boundary")
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    old_handlers[sig] = signal.signal(sig, _on_signal)
+                except ValueError:  # not the main thread
+                    break
+
         e.hooks.call("train_begin", e)
         for epoch in range(start_epoch, e.epochs + 1):
             e.train_dataloader.set_epoch(epoch)
@@ -96,11 +115,20 @@ class TrainingEpochLoop(_Loop):
                 io.save_checkpoint_auto(e.state, e.output_dir, prefix=f"epoch_{epoch}",
                                         max_num_checkpoint=e.max_num_checkpoint)
             if stop:
-                logger.info(f"reached max_train_step {e.max_train_step}, stopping")
+                if self._interrupted:
+                    logger.info("interrupted: checkpoint saved, exiting for resume")
+                else:
+                    logger.info(f"reached max_train_step {e.max_train_step}, stopping")
                 break
         e.hooks.call("train_end", e)
+        if old_handlers:
+            import signal
+
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
 
     last_metrics: Optional[Dict[str, Any]] = None  # for CI golden checks
+    _interrupted: bool = False
 
     def train_one_epoch(self, epoch: int, skip_steps: int = 0) -> bool:
         e = self.engine
@@ -132,7 +160,7 @@ class TrainingEpochLoop(_Loop):
                 profiler.add_profiler_step(e.profiler_options, global_step)
             if e.eval_during_train and e.eval_unit == "step" and global_step % e.eval_interval == 0:
                 self._run_eval(epoch)
-            if e.max_train_step and global_step >= e.max_train_step:
+            if self._interrupted or (e.max_train_step and global_step >= e.max_train_step):
                 self.last_metrics = metrics
                 return True
         self.last_metrics = metrics

@@ -133,3 +133,27 @@ def test_engine_eval_ragged_tail_exact_count(tmp_path):
         seen += take
     assert seen == n_total == 24
     np.testing.assert_allclose(metric, correct / n_total, atol=1e-6)
+
+
+def test_engine_interrupt_checkpoints_and_stops(tmp_path):
+    """SIGTERM-style interruption (flag set mid-epoch) finishes the step,
+    saves latest, and exits the loop; a relaunch resumes mid-epoch."""
+    cfg = _config(tmp_path)
+    e = Engine(cfg, mode="train")
+
+    from passl_tpu.engine.hooks import Hook
+
+    class StopAfterFirst(Hook):
+        def iter_end(self, engine, step, metrics):
+            engine.train_loop._interrupted = True
+
+    e.hooks.hooks.append(StopAfterFirst())
+    e.train()
+    assert int(e.state.step) == 1
+    assert os.path.exists(os.path.join(str(tmp_path), "latest.ckpt"))
+
+    cfg2 = _config(tmp_path)
+    cfg2["Global"]["checkpoint"] = os.path.join(str(tmp_path), "latest.ckpt")
+    e2 = Engine(cfg2, mode="train")
+    e2.train()
+    assert int(e2.state.step) == 2
