@@ -110,6 +110,20 @@ for _name, _cfg in {
 }.items():
     CASES[_name] = {"config": _cfg, "overrides": list(_STD)}
 
+# precision-variant cases (reference runs DeiT fp32+fp16o2 and Swin
+# O1+O2 as separate CI rows, case.sh:93-145) — same configs under the
+# bf16 O2 policy
+_AMP = ["FP16.enable=True", "FP16.level=O2", "FP16.dtype=bfloat16"]
+CASES["deit_tiny_cls_bf16"] = {
+    "config": "configs/classification/deit_tiny_synthetic.yaml",
+    "overrides": list(_STD) + list(_AMP)}
+CASES["swin_tiny_cls_bf16"] = {
+    "config": "configs/classification/swin_tiny_synthetic.yaml",
+    "overrides": list(_STD) + list(_AMP)}
+CASES["distill_tiny"] = {
+    "config": "configs/distill/distill_tiny_synthetic.yaml",
+    "overrides": list(_STD)}
+
 
 def _global_batch(spec: dict) -> int:
     import yaml

@@ -5,15 +5,21 @@
 # probe as a learning system (not just "runs without NaN").
 set -euo pipefail
 cd "$(dirname "$0")/../.."
-OUT=/tmp/passl_learning
+METHOD=${1:-simclr}          # simclr | mocov2
+case "$METHOD" in
+  simclr) CFG=tests/e2e/simclr_structured.yaml; PREFIX=backbone ;;
+  mocov2) CFG=tests/e2e/mocov2_structured.yaml; PREFIX=encoder_q/backbone ;;
+  *) echo "unknown method $METHOD"; exit 2 ;;
+esac
+OUT=/tmp/passl_learning_$METHOD
 rm -rf "$OUT"
 
-python -m passl_tpu.tools.train -c tests/e2e/simclr_structured.yaml \
+python -m passl_tpu.tools.train -c "$CFG" \
   -o Global.output_dir="$OUT/pretrain"
 
 python -m passl_tpu.tools.extract_weights \
   --checkpoint "$OUT/pretrain/latest.ckpt" \
-  --prefix backbone --rename backbone \
+  --prefix "$PREFIX" --rename backbone \
   --output "$OUT/backbone.params"
 
 python -m passl_tpu.tools.train -c tests/e2e/probe_structured.yaml \
