@@ -108,18 +108,28 @@ class TrainingEpochLoop(_Loop):
                 self._run_eval(epoch)
             # every process enters the save — the orbax path (selected
             # automatically for sharded/multi-process state) writes
-            # per-host shards; the msgpack path no-ops off rank 0
-            io.save_checkpoint_auto(e.state, e.output_dir, prefix="latest",
-                                    max_num_checkpoint=e.max_num_checkpoint)
-            if e.save_interval > 0 and epoch % e.save_interval == 0:
-                io.save_checkpoint_auto(e.state, e.output_dir, prefix=f"epoch_{epoch}",
+            # per-host shards; the msgpack path no-ops off rank 0.
+            # latest/epoch saves follow save_interval (a full-state fetch
+            # is expensive on tunneled hosts); a final latest is always
+            # written after the loop, and stop/interrupt saves below.
+            if stop or (e.save_interval > 0 and epoch % e.save_interval == 0):
+                io.save_checkpoint_auto(e.state, e.output_dir, prefix="latest",
                                         max_num_checkpoint=e.max_num_checkpoint)
+                if not stop:
+                    io.save_checkpoint_auto(e.state, e.output_dir, prefix=f"epoch_{epoch}",
+                                            max_num_checkpoint=e.max_num_checkpoint)
             if stop:
                 if self._interrupted:
                     logger.info("interrupted: checkpoint saved, exiting for resume")
                 else:
                     logger.info(f"reached max_train_step {e.max_train_step}, stopping")
                 break
+        else:
+            # loop completed all epochs: guarantee a final latest even
+            # when save_interval skipped the last epoch
+            if e.epochs >= start_epoch and (e.save_interval <= 0 or e.epochs % e.save_interval != 0):
+                io.save_checkpoint_auto(e.state, e.output_dir, prefix="latest",
+                                        max_num_checkpoint=e.max_num_checkpoint)
         e.hooks.call("train_end", e)
         if old_handlers:
             import signal
