@@ -156,11 +156,62 @@ def bench_vit_b16():
             "vs_baseline": round(per_chip / VIT_BASELINE_PER_CHIP, 3)}
 
 
+def bench_mae_b16():
+    """MAE ViT-B/16 pretrain step (reference N3C24 rate 4984 imgs/s =
+    207.7/chip, tasks/ssl/mae/README.md:255)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from passl_tpu import distributed as dist
+    from passl_tpu.core import TrainState
+    from passl_tpu.engine.steps import make_train_step
+    from passl_tpu.models import build_model
+    from passl_tpu.optimizer import build_optimizer
+    from passl_tpu.scheduler import build_lr_scheduler
+
+    n_chips = len(jax.devices())
+    mesh = dist.init_dist_env()
+    batch = 256 * n_chips
+
+    model = build_model({"name": "mae_vit_base_patch16", "mask_ratio": 0.75,
+                         "norm_pix_loss": True, "dtype": jnp.bfloat16})
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": rng, "masking": rng, "dropout": rng}, x0)
+    params = variables["params"]
+    opt = build_optimizer({"name": "AdamW", "betas": (0.9, 0.95), "weight_decay": 0.05,
+                           "one_dim_param_no_weight_decay": True}, params)
+    lr_fn = build_lr_scheduler({"name": "TimmCosine", "learning_rate": 2.4e-3,
+                                "warmup_epoch": 40}, epochs=800, steps_per_epoch=1000)
+    state = TrainState.create(params, {k: v for k, v in variables.items() if k != "params"},
+                              opt.init(params), rng)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
+    rs = np.random.RandomState(0)
+    xb = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
+
+    lowered = jax.jit(make_train_step(model, opt, lr_fn), donate_argnums=0).lower(state, xb)
+    step = lowered.compile()
+    sec = _time_step(step, state, xb)
+    per_chip = batch / sec / n_chips
+    return {"imgs_per_sec_per_chip": round(per_chip, 2),
+            "mfu": round(_compiled_flops(step) / sec / (PEAK_BF16 * n_chips), 4),
+            "batch": batch, "n_chips": n_chips,
+            "vs_baseline": round(per_chip / (4984.0 / 24), 3)}
+
+
 def main():
     extra = {}
+    if os.environ.get("PASSL_BENCH_FULL"):
+        mae = bench_mae_b16()
+        extra.update({f"mae_b16_pt_{k}": v for k, v in mae.items()})
     if not os.environ.get("PASSL_BENCH_FAST"):
         vit = bench_vit_b16()
-        extra = {f"vit_b16_224_{k}": v for k, v in vit.items()}
+        extra.update({f"vit_b16_224_{k}": v for k, v in vit.items()})
     r = bench_simclr_r50()
     print(json.dumps({
         "metric": "simclr_r50_pretrain_imgs_per_sec_per_chip",
