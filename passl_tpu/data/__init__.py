@@ -9,6 +9,7 @@ from __future__ import annotations
 import copy
 from typing import Any, Dict, Optional
 
+from . import autoaugment  # noqa: F401  (registers AutoAugment/RandAugment/AugMix/TimmAutoAugment)
 from . import batch_transforms as _bt
 from . import masking  # noqa: F401  (registers mask transforms)
 from .datasets import DATASETS

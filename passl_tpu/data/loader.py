@@ -157,9 +157,15 @@ class DataLoader:
         self.batch_transform = batch_transform
         self.seed = seed
         self._pool = None
+        self._skip_batches = 0
 
     def set_epoch(self, epoch: int):
         self.batch_sampler.set_epoch(epoch)
+
+    def set_skip(self, n: int):
+        """Skip the first n batches of the NEXT iteration at the index
+        level — no fetch/decode of skipped samples (mid-epoch resume)."""
+        self._skip_batches = int(n)
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0:
@@ -217,6 +223,9 @@ class DataLoader:
 
     def __iter__(self):
         batches = list(self.batch_sampler)
+        if self._skip_batches:
+            batches = batches[self._skip_batches:]
+            self._skip_batches = 0
         if self.num_workers > 0 and self.prefetch > 0:
             # collate/batch_transform overlap with the next yield via the
             # prefetch thread below; worker decode overlaps via _iter_pipelined
@@ -232,11 +241,14 @@ class DataLoader:
         stop = object()
 
         def producer():
+            # a decode/worker failure must FAIL the run, not silently
+            # truncate the epoch: ship the exception to the consumer
             try:
                 for item in gen:
                     q.put(item)
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # noqa: BLE001
+                q.put(("__loader_error__", exc))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -244,6 +256,10 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and isinstance(item[0], str) and item[0] == "__loader_error__":
+                t.join()
+                raise RuntimeError("dataloader worker failed") from item[1]
             yield item
         t.join()
 

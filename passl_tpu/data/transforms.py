@@ -130,7 +130,10 @@ class DecodeImage:
         if self.backend == "cv2":
             if isinstance(img, bytes):
                 arr = cv2.imdecode(np.frombuffer(img, np.uint8), cv2.IMREAD_COLOR)
-                arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+                if arr is None:
+                    raise ValueError("cv2.imdecode failed (corrupt/unsupported image bytes)")
+                if self.to_rgb:
+                    arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
             elif isinstance(img, np.ndarray):
                 arr = img.astype(np.uint8)
             else:
@@ -314,8 +317,14 @@ class ColorJitter:
             ops.append(lambda a: a * f)
         if self.contrast > 0:
             f = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
-            # ImageEnhance.Contrast pivots on the mean of the L channel
-            ops.append(lambda a: (a - a.mean()) * f + a.mean())
+
+            def contrast_op(a, f=f):
+                # ImageEnhance.Contrast pivots on the mean of the L
+                # (luma) channel, not the raw RGB mean
+                pivot = (a @ np.asarray([0.299, 0.587, 0.114], np.float32)).mean()
+                return (a - pivot) * f + pivot
+
+            ops.append(contrast_op)
         if self.saturation > 0:
             f = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
 

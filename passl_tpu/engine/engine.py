@@ -104,7 +104,16 @@ class Engine:
 
         mp_degree = _degree("tensor_parallel", "mp_degree")
         fsdp_degree = _degree("sharding", "sharding_degree", "fsdp_degree")
-        self.mesh = dist.init_dist_env(dp=-1, fsdp=fsdp_degree, tp=mp_degree)
+        pp_degree = _degree("pipeline_parallel", "pp_degree", "pipeline")
+        self.mesh = dist.init_dist_env(dp=-1, fsdp=fsdp_degree, tp=mp_degree,
+                                       pp=pp_degree)
+        if pp_degree > 1:
+            # the pp mesh axis exists for models that call
+            # distributed/pipeline.py explicitly; the generic jitted step
+            # does not auto-partition layers across it
+            logger.warning(f"pp_degree={pp_degree}: pp mesh axis created; "
+                           f"use distributed.pipeline for stage scheduling "
+                           f"(no automatic layer partitioning)")
         self.recompute_cfg = ds.get("recompute", None)
 
         # ---- bookkeeping / logging
@@ -222,7 +231,8 @@ class Engine:
                 opt_cfg["param_group"] = list(opt_cfg.get("param_group", []) or []) + overrides
         self.optimizer = build_optimizer(
             opt_cfg, params, frozen_patterns=frozen, num_layers=num_layers,
-            lr_args=(self.epochs, max(self.steps_per_epoch, 1)))
+            lr_args=(self.epochs, max(self.steps_per_epoch, 1),
+                     getattr(self, "global_batch_size", 256)))
         logger.info(f"optimizer groups: {self.optimizer.describe()}")
 
         # ---- pretrained (params + bundled BN running stats if present)

@@ -87,9 +87,17 @@ class TrainingEpochLoop(_Loop):
             import signal
 
             def _on_signal(signum, frame):
+                if self._interrupted:
+                    # second signal: the step boundary isn't coming
+                    # (hung compile/transfer) — escalate to default
+                    import signal as _s
+
+                    logger.warning(f"signal {signum} again: escalating")
+                    _s.signal(signum, old_handlers.get(signum, _s.SIG_DFL))
+                    raise KeyboardInterrupt
                 self._interrupted = True
                 logger.warning(f"signal {signum}: checkpointing and exiting "
-                               f"at the next step boundary")
+                               f"at the next step boundary (repeat to force)")
 
             for sig in (signal.SIGTERM, signal.SIGINT):
                 try:
@@ -146,10 +154,11 @@ class TrainingEpochLoop(_Loop):
         tic = time.perf_counter()
         metrics = None
         steps_per_epoch = len(e.train_dataloader)
-        for i, batch in enumerate(e.train_dataloader):
-            if i < skip_steps:
-                tic = time.perf_counter()
-                continue
+        if skip_steps:
+            # index-level skip: the sampler slice is dropped before any
+            # fetch/decode work happens
+            e.train_dataloader.set_skip(skip_steps)
+        for i, batch in enumerate(e.train_dataloader, start=skip_steps):
             self.time_info["reader_cost"].update(time.perf_counter() - tic)
             gbatch = e.shard_batch(batch)
             e.state, metrics = e.train_step(e.state, gbatch)

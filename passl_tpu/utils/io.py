@@ -141,18 +141,37 @@ def save_sharded_checkpoint(state, output_dir: str, prefix: str = "latest") -> s
     addressable shards (replaces the reference's per-rank `_rank{i}.pdopt`
     split, io.py:102-168). Use when the train state is FSDP/TP sharded
     across hosts; single-host runs can keep the msgpack path."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(output_dir, f"{prefix}.orbax"))
+    # atomic: write to a tmp dir, then swap — the previous checkpoint
+    # survives a crash mid-save (the preemption path depends on this)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp) and jax.process_index() == 0:
+        shutil.rmtree(tmp)
+    _barrier("pre_save")
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
-        import shutil as _sh
-
-        _sh.rmtree(path)
-    ckptr.save(path, state)
+    ckptr.save(tmp, state)
     ckptr.wait_until_finished()
+    _barrier("post_save")
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    _barrier("post_swap")
     logger.info(f"saved sharded checkpoint {path} (step {int(state.step)})")
     return path
+
+
+def _barrier(tag: str):
+    """Cross-process sync so no host races the rmtree/rename swap."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"passl_ckpt_{tag}")
 
 
 def load_sharded_checkpoint(path: str, state):

@@ -9,6 +9,8 @@ METHOD=${1:-simclr}          # simclr | mocov2
 case "$METHOD" in
   simclr) CFG=tests/e2e/simclr_structured.yaml; PREFIX=backbone ;;
   mocov2) CFG=tests/e2e/mocov2_structured.yaml; PREFIX=encoder_q/backbone ;;
+  byol)   CFG=tests/e2e/byol_structured.yaml;   PREFIX=online/backbone ;;
+  swav)   CFG=tests/e2e/swav_structured.yaml;   PREFIX=backbone ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
 esac
 OUT=/tmp/passl_learning_$METHOD

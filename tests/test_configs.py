@@ -20,3 +20,16 @@ def test_config_builds(path):
     if "DataLoader" in cfg and "Train" in cfg["DataLoader"]:
         train = cfg["DataLoader"]["Train"]
         assert "dataset" in train and "sampler" in train
+    # every transform op referenced by any block must be registered and
+    # constructible (catches ops that exist but are never imported)
+    from passl_tpu.data.transforms import build_transform
+
+    for mode in ("Train", "Eval"):
+        block = cfg.get("DataLoader", {}).get(mode)
+        if not block:
+            continue
+        ds = block["dataset"]
+        if ds.get("transform"):
+            build_transform(ds["transform"])
+        for t in ds.get("transforms") or []:  # multi-crop stacks
+            build_transform(t)

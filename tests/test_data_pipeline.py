@@ -226,3 +226,51 @@ def test_pipelined_pool_preserves_batch_order_and_content():
         np.testing.assert_allclose(ia, ib)
     seq.close()
     par.close()
+
+
+def test_loader_error_propagates_not_truncates():
+    """A failing sample must fail the epoch loudly (not silently end it)."""
+    import pytest as _pytest
+
+    from passl_tpu.data.datasets import Dataset
+    from passl_tpu.data.loader import DataLoader, DistributedBatchSampler
+
+    class Bad(Dataset):
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, idx):
+            if idx == 19:
+                raise ValueError("corrupt sample")
+            return np.zeros((4, 4, 3), np.float32), 0
+
+    ds = Bad()
+    dl = DataLoader(ds, DistributedBatchSampler(32, 8, shuffle=False, drop_last=True),
+                    num_workers=0, prefetch=2)
+    with _pytest.raises(RuntimeError, match="dataloader worker failed"):
+        list(dl)
+
+
+def test_loader_set_skip_is_index_level():
+    """set_skip drops batches before any fetch happens."""
+    from passl_tpu.data.datasets import Dataset
+    from passl_tpu.data.loader import DataLoader, DistributedBatchSampler
+
+    fetched = []
+
+    class Tracking(Dataset):
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, idx):
+            fetched.append(idx)
+            return np.zeros((2, 2, 3), np.float32), idx
+
+    dl = DataLoader(Tracking(), DistributedBatchSampler(32, 8, shuffle=False, drop_last=True),
+                    num_workers=0, prefetch=0)
+    dl.set_skip(2)
+    batches = list(dl)
+    assert len(batches) == 2  # 4 total - 2 skipped
+    assert min(fetched) == 16  # first two batches never touched
+    # skip is one-shot
+    assert len(list(dl)) == 4
