@@ -204,11 +204,68 @@ def bench_mae_b16():
             "vs_baseline": round(per_chip / (4984.0 / 24), 3)}
 
 
+def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_norm=None):
+    """Generic supervised train-step bench (CE + AdamW, bf16)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from passl_tpu import distributed as dist
+    from passl_tpu.core import ClipGradByGlobalNorm, TrainState
+    from passl_tpu.engine.steps import make_train_step
+    from passl_tpu.loss import build_loss
+    from passl_tpu.models import build_model
+    from passl_tpu.optimizer import build_optimizer
+    from passl_tpu.scheduler import build_lr_scheduler
+
+    n_chips = len(jax.devices())
+    mesh = dist.init_dist_env()
+    batch = per_chip_batch * n_chips
+    model = build_model(dict(model_cfg, num_classes=1000, dtype=jnp.bfloat16))
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": rng, "dropout": rng}, x0)
+    params = variables["params"]
+    criterion = build_loss([{"CELoss": {"label_smoothing": 0.1}}])
+    opt = build_optimizer({"name": "AdamW", "weight_decay": 0.05,
+                           "one_dim_param_no_weight_decay": True}, params)
+    lr_fn = build_lr_scheduler({"name": "TimmCosine", "learning_rate": 1e-3,
+                                "warmup_epoch": 5}, epochs=300, steps_per_epoch=1000)
+    clip = ClipGradByGlobalNorm(clip_norm=grad_clip_norm) if grad_clip_norm else None
+    state = TrainState.create(params, {k: v for k, v in variables.items() if k != "params"},
+                              opt.init(params), rng)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
+    rs = np.random.RandomState(0)
+    xb = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
+    yb = jax.device_put(np.asarray(rs.randint(0, 1000, batch), np.int32),
+                        NamedSharding(mesh, P(dist.DATA_AXES)))
+    lowered = jax.jit(make_train_step(model, opt, lr_fn, criterion=criterion,
+                                      grad_clip=clip), donate_argnums=0).lower(state, (xb, yb))
+    step = lowered.compile()
+    sec = _time_step(step, state, (xb, yb))
+    per_chip = batch / sec / n_chips
+    return {"imgs_per_sec_per_chip": round(per_chip, 2),
+            "mfu": round(_compiled_flops(step) / sec / (PEAK_BF16 * n_chips), 4),
+            "batch": batch, "n_chips": n_chips,
+            "vs_baseline": round(per_chip / baseline_per_chip, 3)}
+
+
 def main():
     extra = {}
     if os.environ.get("PASSL_BENCH_FULL"):
         mae = bench_mae_b16()
         extra.update({f"mae_b16_pt_{k}": v for k, v in mae.items()})
+        # Swin-B (reference fp16o2 3006/8 = 375.8/chip, swin/README.md:60)
+        swin = _bench_classifier({"name": "swin_base_patch4_window7_224"},
+                                 128, 3006.0 / 8, grad_clip_norm=5.0)
+        extra.update({f"swin_b_{k}": v for k, v in swin.items()})
+        # ConvNeXt-B (reference fp32 7800/32 = 243.8/chip, convnext/README.md:58)
+        cnx = _bench_classifier({"name": "convnext_base"}, 128, 7800.0 / 32)
+        extra.update({f"convnext_b_{k}": v for k, v in cnx.items()})
     if not os.environ.get("PASSL_BENCH_FAST"):
         vit = bench_vit_b16()
         extra.update({f"vit_b16_224_{k}": v for k, v in vit.items()})
