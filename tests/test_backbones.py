@@ -50,6 +50,21 @@ def test_swin_shifted_window_mask():
     assert np.allclose(np.asarray(back), np.asarray(x))
 
 
+def test_swin_packed_window_attention_matches_unpacked(rng):
+    """win_pack=2 (block-diag masked packed attention) must reproduce the
+    unpacked computation with the same params — incl. shifted blocks."""
+    cfg = {"name": "SwinTransformer", "img_size": 32, "patch_size": 4, "embed_dim": 32,
+           "depths": (2, 2), "num_heads": (2, 4), "window_size": 4, "num_classes": 10,
+           "drop_path_rate": 0.0}
+    m1 = build_model(dict(cfg, win_pack=1))
+    m2 = build_model(dict(cfg, win_pack=2))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    variables = jax.jit(functools.partial(m1.init, train=False))({"params": rng}, x)
+    o1 = jax.jit(functools.partial(m1.apply, train=False))(variables, x)
+    o2 = jax.jit(functools.partial(m2.apply, train=False))(variables, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+
+
 def test_vit_pos_embed_interpolation():
     from passl_tpu.models.vision_transformer import interpolate_pos_embed
 
