@@ -78,6 +78,7 @@ class MaskedAutoencoderViT(Model):
     mlp_ratio: float = 4.0
     norm_pix_loss: bool = True
     mask_ratio: float = 0.75
+    softmax_dtype: Any = "float32"  # attention-score precision (see nn.layers.Attention)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -102,7 +103,8 @@ class MaskedAutoencoderViT(Model):
         x = jnp.concatenate([cls, x], axis=1)
         for i in range(self.depth):
             x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
-                      dtype=self.dtype, name=f"blocks_{i}")(x, deterministic=not train)
+                      dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                      name=f"blocks_{i}")(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
         # ---------- decoder
@@ -119,7 +121,8 @@ class MaskedAutoencoderViT(Model):
         x = x + dec_pos.astype(x.dtype)
         for i in range(self.decoder_depth):
             x = Block(num_heads=self.decoder_num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
-                      dtype=self.dtype, name=f"decoder_blocks_{i}")(x, deterministic=not train)
+                      dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                      name=f"decoder_blocks_{i}")(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="decoder_norm")(x)
         pred = nn.Dense(p * p * 3, dtype=self.dtype, name="decoder_pred")(x)[:, 1:, :]
 

@@ -55,6 +55,7 @@ class VisionTransformer(Model):
     num_classes: int = 1000
     global_pool: bool = False  # True: mean-pool tokens (MAE finetune style)
     norm_eps: float = 1e-6
+    softmax_dtype: Dtype = "float32"  # attention-score precision; bf16 matches fp16-O2 recipes
     dtype: Dtype = jnp.float32
     head_init: str = "trunc_normal"  # "trunc_normal" | "zeros" | "small"
     stop_grad_patch_embed: bool = False  # MoCo v3 trick (mocov3.py)
@@ -103,6 +104,7 @@ class VisionTransformer(Model):
                 init_values=self.init_values,
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
+                softmax_dtype=self.softmax_dtype,
                 name=f"blocks_{i}",
             )(x, not train)  # positional: remat static_argnums=(2,)
 

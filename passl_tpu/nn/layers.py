@@ -102,6 +102,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
+    softmax_dtype: Dtype = jnp.float32  # score/softmax precision; bf16 matches fp16-O2 recipes
     kernel_init: Callable = tinit.xavier_uniform_()
 
     @nn.compact
@@ -110,10 +111,11 @@ class Attention(nn.Module):
         h = self.num_heads
         head_dim = c // h
         scale = self.qk_scale or head_dim**-0.5
+        acc = jnp.dtype(self.softmax_dtype) if isinstance(self.softmax_dtype, str) else self.softmax_dtype
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=self.kernel_init, name="qkv")(x)
         qkv = qkv.reshape(n, l, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [n, l, h, d]
-        attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=jnp.float32)
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=acc)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, c)
@@ -136,6 +138,7 @@ class Block(nn.Module):
     act: Callable = nn.gelu
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    softmax_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -148,6 +151,7 @@ class Block(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             dtype=self.dtype,
+            softmax_dtype=self.softmax_dtype,
             name="attn",
         )(y, deterministic=deterministic)
         if self.init_values is not None:
