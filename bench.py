@@ -278,6 +278,14 @@ def main():
         # ConvNeXt-B (reference fp32 7800/32 = 243.8/chip, convnext/README.md:58)
         cnx = _bench_classifier({"name": "convnext_base"}, 128, 7800.0 / 32)
         extra.update({f"convnext_b_{k}": v for k, v in cnx.items()})
+        # DeiT-B (reference fp16o2 3169/8 = 396.1/chip, deit/README.md:58)
+        deit = _bench_classifier({"name": "DeiT_base_patch16_224",
+                                  "softmax_dtype": "bfloat16"}, 256, 3169.0 / 8)
+        extra.update({f"deit_b_{k}": v for k, v in deit.items()})
+        # CaiT-s24 (reference fp16o2 2473/8 = 309.1/chip, cait/README.md:57)
+        cait = _bench_classifier({"name": "cait_s24_224", "softmax_dtype": "bfloat16"},
+                                 128, 2473.0 / 8)
+        extra.update({f"cait_s24_{k}": v for k, v in cait.items()})
     if not os.environ.get("PASSL_BENCH_FAST"):
         vit = bench_vit_b16()
         extra.update({f"vit_b16_224_{k}": v for k, v in vit.items()})

@@ -25,6 +25,7 @@ class TalkingHeadAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32  # score/head-mix/softmax precision
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -32,16 +33,17 @@ class TalkingHeadAttention(nn.Module):
         h = self.num_heads
         head_dim = c // h
         scale = head_dim**-0.5
+        acc = jnp.dtype(self.softmax_dtype) if isinstance(self.softmax_dtype, str) else self.softmax_dtype
         qkv = nn.Dense(3 * c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="qkv")(x)
         qkv = qkv.reshape(n, l, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=jnp.float32)
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=acc)
         # talking heads: mix across heads pre-softmax
         attn = jnp.einsum("nhqk,hg->ngqk", attn,
-                          self.param("proj_l", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32))
+                          self.param("proj_l", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32).astype(acc))
         attn = jax.nn.softmax(attn, axis=-1)
         attn = jnp.einsum("nhqk,hg->ngqk", attn,
-                          self.param("proj_w", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32))
+                          self.param("proj_w", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32).astype(acc))
         attn = nn.Dropout(self.attn_drop)(attn.astype(self.dtype), deterministic=deterministic)
         out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="proj")(out)
@@ -75,6 +77,7 @@ class CaiTSABlock(nn.Module):
     init_values: float = 1e-4
     drop_path: float = 0.0
     dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -82,7 +85,8 @@ class CaiTSABlock(nn.Module):
         g1 = self.param("gamma_1", tinit.constant_(self.init_values), (c,), jnp.float32)
         g2 = self.param("gamma_2", tinit.constant_(self.init_values), (c,), jnp.float32)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = TalkingHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(y, deterministic)
+        y = TalkingHeadAttention(self.num_heads, dtype=self.dtype,
+                                 softmax_dtype=self.softmax_dtype, name="attn")(y, deterministic)
         x = x + DropPath(self.drop_path, name="dp1")(y * g1, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(hidden_features=int(c * self.mlp_ratio), dtype=self.dtype, name="mlp")(y, deterministic)
@@ -121,6 +125,7 @@ class CaiT(Model):
     init_values: float = 1e-5
     drop_path_rate: float = 0.0
     num_classes: int = 1000
+    softmax_dtype: Any = "float32"  # attention-score precision
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -137,7 +142,8 @@ class CaiT(Model):
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         for i in range(self.depth):
             x = CaiTSABlock(self.num_heads, self.mlp_ratio, self.init_values, float(dpr[i]),
-                            self.dtype, name=f"blocks_{i}")(x, deterministic=not train)
+                            self.dtype, self.softmax_dtype,
+                            name=f"blocks_{i}")(x, deterministic=not train)
         cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
         for i in range(self.depth_token_only):
             cls = CaiTCABlock(self.num_heads, self.mlp_ratio, self.init_values,
