@@ -124,9 +124,11 @@ def bench_vit_b16():
 
     # bf16 attention scores/softmax: the reference flagship recipe is fp16
     # O2 (vit_base..._fp16o2.yaml, no softmax blacklist), so its softmax
-    # also runs in 16-bit — apples-to-apples.
+    # also runs in 16-bit — apples-to-apples. PASSL_ATTN_IMPL selects the
+    # attention path (einsum | flash pallas kernel | auto).
     model = build_model({"name": "ViT_base_patch16_224", "num_classes": 1000,
-                         "softmax_dtype": "bfloat16", "dtype": jnp.bfloat16})
+                         "softmax_dtype": "bfloat16", "dtype": jnp.bfloat16,
+                         "attn_impl": os.environ.get("PASSL_ATTN_IMPL", "einsum")})
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
     variables = jax.jit(functools.partial(model.init, train=True))(
@@ -185,6 +187,7 @@ def bench_mae_b16():
     # number (the model default) is 945 imgs/s — see docs/benchmarks.md.
     model = build_model({"name": "mae_vit_base_patch16", "mask_ratio": 0.75,
                          "norm_pix_loss": True, "softmax_dtype": "bfloat16",
+                         "attn_impl": os.environ.get("PASSL_ATTN_IMPL", "einsum"),
                          "dtype": jnp.bfloat16})
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
@@ -212,7 +215,8 @@ def bench_mae_b16():
             "vs_baseline": round(per_chip / (4984.0 / 24), 3)}
 
 
-def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_norm=None):
+def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_norm=None,
+                      image_size=224):
     """Generic supervised train-step bench (CE + AdamW, bf16)."""
     import functools
 
@@ -233,7 +237,7 @@ def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_no
     batch = per_chip_batch * n_chips
     model = build_model(dict(model_cfg, num_classes=1000, dtype=jnp.bfloat16))
     rng = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
+    x0 = jnp.zeros((2, image_size, image_size, 3), jnp.bfloat16)
     variables = jax.jit(functools.partial(model.init, train=True))(
         {"params": rng, "dropout": rng}, x0)
     params = variables["params"]
@@ -248,7 +252,8 @@ def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_no
     state = jax.device_put(state, NamedSharding(mesh, P()))
     sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
     rs = np.random.RandomState(0)
-    xb = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
+    xb = jax.device_put(rs.rand(batch, image_size, image_size, 3).astype(np.float32) * 2 - 1,
+                        sh).astype(jnp.bfloat16)
     yb = jax.device_put(np.asarray(rs.randint(0, 1000, batch), np.int32),
                         NamedSharding(mesh, P(dist.DATA_AXES)))
     lowered = jax.jit(make_train_step(model, opt, lr_fn, criterion=criterion,
@@ -286,6 +291,14 @@ def main():
         cait = _bench_classifier({"name": "cait_s24_224", "softmax_dtype": "bfloat16"},
                                  128, 2473.0 / 8)
         extra.update({f"cait_s24_{k}": v for k, v in cait.items()})
+        # ViT-L/16 384 finetune step (reference 719/8 = 89.9/chip,
+        # vit/README.md:76). Memory-bound on 16 GB: bs32 + selective
+        # remat (save weight dots, recompute attention scores).
+        vitl = _bench_classifier({"name": "ViT_large_patch16_384",
+                                  "softmax_dtype": "bfloat16", "remat": True,
+                                  "remat_policy": "dots_no_batch"},
+                                 32, 719.0 / 8, image_size=384)
+        extra.update({f"vit_l16_384_{k}": v for k, v in vitl.items()})
     if not os.environ.get("PASSL_BENCH_FAST"):
         vit = bench_vit_b16()
         extra.update({f"vit_b16_224_{k}": v for k, v in vit.items()})

@@ -33,6 +33,7 @@ class DistilledVisionTransformer(Model):
     drop_path_rate: float = 0.0
     num_classes: int = 1000
     softmax_dtype: Any = "float32"  # attention-score precision (see nn.layers.Attention)
+    attn_impl: str = "einsum"  # "einsum" | "flash" | "auto" (see ops.attention)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,7 +52,7 @@ class DistilledVisionTransformer(Model):
         x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         for i in range(self.depth):
-            x = Block(softmax_dtype=self.softmax_dtype,
+            x = Block(softmax_dtype=self.softmax_dtype, attn_impl=self.attn_impl,
                       num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop=self.drop_rate, attn_drop=self.attn_drop_rate, drop_path=float(dpr[i]),
                       dtype=self.dtype, name=f"blocks_{i}")(x, deterministic=not train)

@@ -79,6 +79,7 @@ class MaskedAutoencoderViT(Model):
     norm_pix_loss: bool = True
     mask_ratio: float = 0.75
     softmax_dtype: Any = "float32"  # attention-score precision (see nn.layers.Attention)
+    attn_impl: str = "einsum"  # "einsum" | "flash" | "auto" (see ops.attention)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -104,6 +105,7 @@ class MaskedAutoencoderViT(Model):
         for i in range(self.depth):
             x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
                       dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                      attn_impl=self.attn_impl,
                       name=f"blocks_{i}")(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
@@ -122,6 +124,7 @@ class MaskedAutoencoderViT(Model):
         for i in range(self.decoder_depth):
             x = Block(num_heads=self.decoder_num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
                       dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                      attn_impl=self.attn_impl,
                       name=f"decoder_blocks_{i}")(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="decoder_norm")(x)
         pred = nn.Dense(p * p * 3, dtype=self.dtype, name="decoder_pred")(x)[:, 1:, :]

@@ -17,16 +17,26 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..nn import init as tinit
-from ..nn.norm import SplitBatchNorm
+from ..nn.norm import SplitBatchNorm, SubsampledBatchNorm
 from .base import Model, register_model
 
 Dtype = Any
 
 
-def _make_norm(bn_splits: int, dtype, name: str, use_running_average: bool, momentum: float = 0.9):
+def _make_norm(bn_splits: int, dtype, name: str, use_running_average: bool, momentum: float = 0.9,
+               bn_stats_stride: int = 1):
     if bn_splits > 1:
         return SplitBatchNorm(
             num_splits=bn_splits,
+            use_running_average=use_running_average,
+            momentum=momentum,
+            epsilon=1e-5,
+            dtype=dtype,
+            name=name,
+        )
+    if bn_stats_stride > 1:
+        return SubsampledBatchNorm(
+            stats_stride=bn_stats_stride,
             use_running_average=use_running_average,
             momentum=momentum,
             epsilon=1e-5,
@@ -47,6 +57,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     downsample: bool = False
     bn_splits: int = 0
+    bn_stats_stride: int = 1
     dtype: Dtype = jnp.float32
 
     expansion = 1
@@ -57,13 +68,13 @@ class BasicBlock(nn.Module):
             nn.Conv, use_bias=False, dtype=self.dtype,
             kernel_init=tinit.kaiming_normal_(mode="fan_out", nonlinearity="relu"),
         )
-        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train)
+        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train, bn_stats_stride=self.bn_stats_stride)
         identity = x
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides), padding=1, name="conv1")(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = conv(self.filters, (3, 3), padding=1, name="conv2")(y)
-        y = _make_norm(self.bn_splits, self.dtype, "bn2", not train)(y)
+        y = _make_norm(self.bn_splits, self.dtype, "bn2", not train, bn_stats_stride=self.bn_stats_stride)(y)
         if self.downsample:
             identity = conv(self.filters, (1, 1), strides=(self.strides, self.strides), name="downsample_conv")(x)
             identity = norm(name="downsample_bn")(identity)
@@ -77,6 +88,7 @@ class BottleneckBlock(nn.Module):
     groups: int = 1
     base_width: int = 64
     bn_splits: int = 0
+    bn_stats_stride: int = 1
     dtype: Dtype = jnp.float32
 
     expansion = 4
@@ -88,7 +100,7 @@ class BottleneckBlock(nn.Module):
             nn.Conv, use_bias=False, dtype=self.dtype,
             kernel_init=tinit.kaiming_normal_(mode="fan_out", nonlinearity="relu"),
         )
-        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train)
+        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train, bn_stats_stride=self.bn_stats_stride)
         identity = x
         y = conv(width, (1, 1), name="conv1")(x)
         y = nn.relu(norm(name="bn1")(y))
@@ -118,6 +130,7 @@ class ResNet(Model):
     groups: int = 1
     width_per_group: int = 64
     bn_splits: int = 0
+    bn_stats_stride: int = 1  # >1: BN stats from every Nth sample (perf knob)
     with_pool: bool = True
     cifar_stem: bool = False
     dtype: Any = jnp.float32
@@ -134,7 +147,7 @@ class ResNet(Model):
             x = conv(64, (3, 3), padding=1, name="conv1")(x)
         else:
             x = conv(64, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
-        x = _make_norm(self.bn_splits, self.dtype, "bn1", not train)(x)
+        x = _make_norm(self.bn_splits, self.dtype, "bn1", not train, bn_stats_stride=self.bn_stats_stride)(x)
         x = nn.relu(x)
         if not self.cifar_stem:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -150,6 +163,7 @@ class ResNet(Model):
                     strides=strides,
                     downsample=(strides != 1 or in_ch != out_ch),
                     bn_splits=self.bn_splits,
+                    bn_stats_stride=self.bn_stats_stride,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
                 )

@@ -56,10 +56,18 @@ class VisionTransformer(Model):
     global_pool: bool = False  # True: mean-pool tokens (MAE finetune style)
     norm_eps: float = 1e-6
     softmax_dtype: Dtype = "float32"  # attention-score precision; bf16 matches fp16-O2 recipes
+    attn_impl: str = "einsum"  # "einsum" | "flash" (pallas, TPU) | "auto"
     dtype: Dtype = jnp.float32
     head_init: str = "trunc_normal"  # "trunc_normal" | "zeros" | "small"
     stop_grad_patch_embed: bool = False  # MoCo v3 trick (mocov3.py)
     remat: bool = False  # activation recompute (reference recompute_warp)
+    # what the checkpointed blocks SAVE (memory/time trade):
+    #   "nothing"       save block inputs only (max memory savings)
+    #   "dots_no_batch" save weight-matmul outputs, recompute only the
+    #                   batched attention dots — the scores, the usual
+    #                   OOM driver — costs ~1/8 of a full re-forward
+    #   "dots"          save every dot incl. scores (≈ no-remat memory)
+    remat_policy: str = "nothing"
 
     def head_tokens(self):
         return 1
@@ -91,7 +99,15 @@ class VisionTransformer(Model):
         # activation checkpointing: re-materialize block activations in
         # the backward pass (TPU equivalent of the reference's
         # recompute_warp over LayerLists, core/recompute.py:34-43)
-        BlockCls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+        if self.remat:
+            policy = {
+                "nothing": None,
+                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots": jax.checkpoint_policies.dots_saveable,
+            }[self.remat_policy]
+            BlockCls = nn.remat(Block, static_argnums=(2,), policy=policy)
+        else:
+            BlockCls = Block
         for i in range(self.depth):
             x = BlockCls(
                 num_heads=self.num_heads,
@@ -105,6 +121,7 @@ class VisionTransformer(Model):
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 softmax_dtype=self.softmax_dtype,
+                attn_impl=self.attn_impl,
                 name=f"blocks_{i}",
             )(x, not train)  # positional: remat static_argnums=(2,)
 

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import multi_head_attention, resolve_attn_impl
 from . import init as tinit
 
 Dtype = Any
@@ -103,6 +104,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
     softmax_dtype: Dtype = jnp.float32  # score/softmax precision; bf16 matches fp16-O2 recipes
+    attn_impl: str = "einsum"  # "einsum" | "flash" (pallas) | "auto"
     kernel_init: Callable = tinit.xavier_uniform_()
 
     @nn.compact
@@ -115,10 +117,15 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=self.kernel_init, name="qkv")(x)
         qkv = qkv.reshape(n, l, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [n, l, h, d]
-        attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=acc)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, c)
+        impl = resolve_attn_impl(self.attn_impl, l, self.attn_drop, deterministic)
+        if impl == "flash":
+            out = multi_head_attention(q, k, v, scale, impl="flash",
+                                       out_dtype=self.dtype)
+        else:
+            attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=acc)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=self.kernel_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -139,6 +146,7 @@ class Block(nn.Module):
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
     softmax_dtype: Dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -152,6 +160,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             softmax_dtype=self.softmax_dtype,
+            attn_impl=self.attn_impl,
             name="attn",
         )(y, deterministic=deterministic)
         if self.init_values is not None:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -81,4 +82,49 @@ class SplitBatchNorm(nn.Module):
             y = y * scale
         if bias is not None:
             y = y + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class SubsampledBatchNorm(nn.Module):
+    """BatchNorm whose train-mode statistics come from every
+    `stats_stride`-th sample of the batch (an opt-in throughput knob).
+
+    The stats reduction is the HBM-bound half of BN on TPU (the
+    normalize fuses into neighbors; the reduction is an extra full read
+    of the conv output — ~16% of an R50 train step, docs/benchmarks.md).
+    Reading only 1/stride of the batch for stats cuts that read
+    proportionally. With shuffled batches the subsample is an unbiased
+    (noisier) estimator — equivalent to BN stats from a smaller batch,
+    the regime most published ResNet recipes (incl. the reference's
+    8-GPU per-device BN at bs 32-64) already train in. Default stride 1
+    == exact BatchNorm; enable per-config via `bn_stats_stride`.
+    Running stats use the same subsampled estimate.
+    """
+
+    stats_stride: int = 1
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param("use_running_average", self.use_running_average, use_running_average)
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            stride = max(1, self.stats_stride) if x.shape[0] >= 2 * self.stats_stride else 1
+            sub = x[::stride].astype(jnp.float32)
+            red = tuple(range(sub.ndim - 1))
+            mean = jnp.mean(sub, axis=red)
+            var = jnp.mean(jnp.square(sub), axis=red) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return y.astype(self.dtype or x.dtype)

@@ -70,6 +70,8 @@ def test_engine_train_resume_eval(tmp_path):
     assert metric is not None and np.isfinite(metric)
 
 
+@pytest.mark.slow  # dp2·fsdp2·tp2 mesh compile (~13 s); sharding asserts
+# stay in smoke via tests/test_parallel.py
 def test_engine_hybrid_parallel_sharded_state(tmp_path):
     cfg = _config(
         tmp_path,

@@ -1,11 +1,13 @@
 """Engine-level SSL config tests: SwAV multi-crop and CLIP dict batches
 flow through build_dataloader → shard_batch → train step."""
 import numpy as np
+import pytest
 
 from passl_tpu.engine import Engine
 from passl_tpu.utils.misc import create_attr_dict
 
 
+@pytest.mark.slow  # two crop-resolution compiles + sinkhorn (~30 s)
 def test_engine_swav_multicrop(tmp_path):
     cfg = create_attr_dict({
         "Global": {"epochs": 1, "output_dir": str(tmp_path), "print_batch_step": 1,

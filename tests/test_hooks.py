@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from passl_tpu.engine import Engine
 from passl_tpu.engine.hooks import HOOKS, Hook, register_hook
@@ -28,6 +29,8 @@ class _CountingHook(Hook):
         _CountingHook.calls.append("train_end")
 
 
+@pytest.mark.slow  # full engine train run (~15 s compile); hook-API unit
+# coverage stays in smoke via the other tests in this file
 def test_hooks_fire_at_boundaries(tmp_path):
     _CountingHook.calls.clear()
     cfg = create_attr_dict({
