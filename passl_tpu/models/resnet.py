@@ -130,7 +130,7 @@ class ResNet(Model):
     groups: int = 1
     width_per_group: int = 64
     bn_splits: int = 0
-    bn_stats_stride: int = 1  # >1: BN stats from every Nth sample (perf knob)
+    bn_stats_stride: int = 1  # >1: subsampled BN stats (experimental; see nn.norm)
     with_pool: bool = True
     cifar_stem: bool = False
     dtype: Any = jnp.float32

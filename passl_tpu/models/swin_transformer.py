@@ -246,6 +246,8 @@ class SwinTransformer(Model):
     num_classes: int = 1000
     win_pack: int = 2
     softmax_dtype: Any = "float32"
+    remat: bool = False  # activation recompute per SwinBlock
+    remat_policy: str = "nothing"  # "nothing" | "dots_no_batch" | "dots"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -266,13 +268,23 @@ class SwinTransformer(Model):
             x = x + ape.astype(x.dtype)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
 
+        if self.remat:
+            policy = {
+                "nothing": None,
+                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots": jax.checkpoint_policies.dots_saveable,
+            }[self.remat_policy]
+            BlockCls = nn.remat(SwinBlock, static_argnums=(2,), policy=policy)
+        else:
+            BlockCls = SwinBlock
+
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         cur = 0
         res = (gh, gw)
         dim = self.embed_dim
         for i, depth in enumerate(self.depths):
             for j in range(depth):
-                x = SwinBlock(
+                x = BlockCls(
                     dim=dim, input_resolution=res, num_heads=self.num_heads[i],
                     window_size=self.window_size,
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
@@ -281,7 +293,7 @@ class SwinTransformer(Model):
                     drop_path=float(dpr[cur]), win_pack=self.win_pack,
                     dtype=self.dtype, softmax_dtype=softmax_dtype,
                     name=f"layers_{i}_blocks_{j}",
-                )(x, deterministic=not train)
+                )(x, not train)  # positional: remat static_argnums=(2,)
                 cur += 1
             if i < len(self.depths) - 1:
                 x = PatchMerging(res, dim, self.dtype, name=f"layers_{i}_downsample")(x)

@@ -87,18 +87,21 @@ class SplitBatchNorm(nn.Module):
 
 class SubsampledBatchNorm(nn.Module):
     """BatchNorm whose train-mode statistics come from every
-    `stats_stride`-th sample of the batch (an opt-in throughput knob).
+    `stats_stride`-th sample of the batch (EXPERIMENTAL throughput knob).
 
-    The stats reduction is the HBM-bound half of BN on TPU (the
-    normalize fuses into neighbors; the reduction is an extra full read
-    of the conv output — ~16% of an R50 train step, docs/benchmarks.md).
-    Reading only 1/stride of the batch for stats cuts that read
-    proportionally. With shuffled batches the subsample is an unbiased
-    (noisier) estimator — equivalent to BN stats from a smaller batch,
-    the regime most published ResNet recipes (incl. the reference's
-    8-GPU per-device BN at bs 32-64) already train in. Default stride 1
-    == exact BatchNorm; enable per-config via `bn_stats_stride`.
-    Running stats use the same subsampled estimate.
+    Rationale: the stats reduction is the HBM-bound half of BN on TPU
+    (~16% of an R50 train step, docs/benchmarks.md); reading 1/stride of
+    the batch for stats cuts that read proportionally, and with shuffled
+    batches the subsample is an unbiased (noisier) estimator.
+
+    Measured result (v5e, SimCLR R50 bs128): stride 4 runs **0.6x** the
+    exact-BN step — the forward saving is swamped by the backward, where
+    exact gradients through the subsampled stats scatter into the full
+    activation shape (stride-slice transpose = scatter). stride 1 through
+    this class matches flax BatchNorm speed bit for bit. Kept as an
+    experimental knob + a documented negative result; making it pay
+    would require stop_gradient'ed stats, which changes training math.
+    Default stride 1 == exact BatchNorm.
     """
 
     stats_stride: int = 1
@@ -119,12 +122,23 @@ class SubsampledBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             stride = max(1, self.stats_stride) if x.shape[0] >= 2 * self.stats_stride else 1
-            sub = x[::stride].astype(jnp.float32)
+            sub = x[::stride]
             red = tuple(range(sub.ndim - 1))
-            mean = jnp.mean(sub, axis=red)
-            var = jnp.mean(jnp.square(sub), axis=red) - jnp.square(mean)
+            count = 1
+            for a in red:
+                count *= sub.shape[a]
+            # f32-accumulated reductions over the (possibly bf16)
+            # subsample — never materialize an f32 copy of the
+            # activations (that copy alone would cost more HBM traffic
+            # than the subsampling saves)
+            mean = jnp.sum(sub, axis=red, dtype=jnp.float32) / count
+            sq = jnp.einsum("...c,...c->c", sub, sub,
+                            preferred_element_type=jnp.float32) / count
+            var = sq - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        # fold normalize into one fused multiply-add at the compute dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
         return y.astype(self.dtype or x.dtype)
