@@ -291,13 +291,19 @@ def main():
         cait = _bench_classifier({"name": "cait_s24_224", "softmax_dtype": "bfloat16"},
                                  128, 2473.0 / 8)
         extra.update({f"cait_s24_{k}": v for k, v in cait.items()})
-        # ViT-L/16 384 finetune step (reference 719/8 = 89.9/chip,
-        # vit/README.md:76). Memory-bound on 16 GB: bs32 + selective
-        # remat (save weight dots, recompute attention scores).
+        # ViT-B/16 384 finetune step (reference 719 imgs/s on A100 N1C8 =
+        # 89.9/chip, vit/README.md:76). Fits without remat at bs64.
+        vitb384 = _bench_classifier({"name": "ViT_base_patch16_384",
+                                     "softmax_dtype": "bfloat16"},
+                                    64, 719.0 / 8, image_size=384)
+        extra.update({f"vit_b16_384_{k}": v for k, v in vitb384.items()})
+        # ViT-L/16 384 finetune step (reference 934 imgs/s on A100 N4C32 =
+        # 29.2/chip, vit/README.md:78). Memory-bound on 16 GB: bs32 +
+        # selective remat (save weight dots, recompute attention scores).
         vitl = _bench_classifier({"name": "ViT_large_patch16_384",
                                   "softmax_dtype": "bfloat16", "remat": True,
                                   "remat_policy": "dots_no_batch"},
-                                 32, 719.0 / 8, image_size=384)
+                                 32, 934.0 / 32, image_size=384)
         extra.update({f"vit_l16_384_{k}": v for k, v in vitl.items()})
     if not os.environ.get("PASSL_BENCH_FAST"):
         vit = bench_vit_b16()

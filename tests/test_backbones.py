@@ -65,6 +65,42 @@ def test_swin_packed_window_attention_matches_unpacked(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
 
 
+def test_swin_and_vit_remat_policies_match_no_remat(rng):
+    """remat/remat_policy must not change outputs or gradients."""
+    cfg = {"name": "SwinTransformer", "img_size": 32, "patch_size": 4, "embed_dim": 32,
+           "depths": (1, 1), "num_heads": (2, 4), "window_size": 4, "num_classes": 10,
+           "drop_path_rate": 0.0}
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    m0 = build_model(cfg)
+    variables = m0.init({"params": rng, "dropout": rng}, x, train=True)
+
+    def gsum(m):
+        g = jax.jit(jax.grad(lambda p: jnp.sum(m.apply(
+            {**variables, "params": p}, x, train=True,
+            rngs={"dropout": jax.random.PRNGKey(7)}) ** 2)))(variables["params"])
+        return float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0))
+
+    base = gsum(m0)
+    for pol in ("nothing", "dots_no_batch", "dots"):
+        m = build_model(dict(cfg, remat=True, remat_policy=pol))
+        np.testing.assert_allclose(gsum(m), base, rtol=1e-6)
+
+    vit_cfg = {"name": "ViT_tiny_patch16_224", "img_size": 32, "num_classes": 10}
+    mv0 = build_model(vit_cfg)
+    vv = mv0.init({"params": rng, "dropout": rng}, x, train=True)
+
+    def vgsum(m):
+        g = jax.jit(jax.grad(lambda p: jnp.sum(m.apply(
+            {**vv, "params": p}, x, train=True,
+            rngs={"dropout": jax.random.PRNGKey(7)}) ** 2)))(vv["params"])
+        return float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0))
+
+    vbase = vgsum(mv0)
+    for pol in ("nothing", "dots_no_batch"):
+        m = build_model(dict(vit_cfg, remat=True, remat_policy=pol))
+        np.testing.assert_allclose(vgsum(m), vbase, rtol=1e-6)
+
+
 def test_vit_pos_embed_interpolation():
     from passl_tpu.models.vision_transformer import interpolate_pos_embed
 
