@@ -215,6 +215,62 @@ def bench_mae_b16():
             "vs_baseline": round(per_chip / (4984.0 / 24), 3)}
 
 
+def bench_mocov3_b16():
+    """MoCo v3 ViT-B two-tower pretrain step incl. cosine-EMA momentum
+    update (reference CI ips 631.6 on 8xA100 = 79.0/chip)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from passl_tpu import distributed as dist
+    from passl_tpu.core import TrainState
+    from passl_tpu.engine.steps import ema_momentum_schedule, make_train_step
+    from passl_tpu.models import build_model
+    from passl_tpu.optimizer import build_optimizer
+    from passl_tpu.scheduler import build_lr_scheduler
+
+    n_chips = len(jax.devices())
+    mesh = dist.init_dist_env()
+    batch = 128 * n_chips
+
+    model = build_model({
+        "name": "MoCoV3Pretrain",
+        "encoder": {"img_size": 224, "patch_size": 16, "embed_dim": 768,
+                    "depth": 12, "num_heads": 12, "stop_grad_conv1": True,
+                    "softmax_dtype": "bfloat16"},
+        "dim": 256, "mlp_dim": 4096, "T": 0.2, "base_momentum": 0.99,
+        "dtype": jnp.bfloat16,
+    })
+    rng = jax.random.PRNGKey(0)
+    sample = (jnp.zeros((2, 224, 224, 3), jnp.bfloat16),) * 2
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": rng, "dropout": rng}, sample)
+    params = variables["params"]
+    opt = build_optimizer({"name": "AdamW", "betas": (0.9, 0.95), "weight_decay": 0.1,
+                           "one_dim_param_no_weight_decay": True}, params)
+    lr_fn = build_lr_scheduler({"name": "TimmCosine", "learning_rate": 2.4e-3,
+                                "warmup_epoch": 40}, epochs=300, steps_per_epoch=1000)
+    ema_pairs = [(src, dst, ema_momentum_schedule(cfg, 300 * 1000))
+                 for src, dst, cfg in model.ema_map()]
+    state = TrainState.create(params, {k: v for k, v in variables.items() if k != "params"},
+                              opt.init(params), rng)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
+    rs = np.random.RandomState(0)
+    v1 = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
+    v2 = jax.device_put(rs.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1, sh).astype(jnp.bfloat16)
+    step = jax.jit(make_train_step(model, opt, lr_fn, ema_pairs=ema_pairs),
+                   donate_argnums=0).lower(state, (v1, v2)).compile()
+    sec = _time_step(step, state, (v1, v2))
+    per_chip = batch / sec / n_chips
+    return {"imgs_per_sec_per_chip": round(per_chip, 2),
+            "mfu": round(_compiled_flops(step) / sec / (PEAK_BF16 * n_chips), 4),
+            "batch": batch, "n_chips": n_chips,
+            "vs_baseline": round(per_chip / (631.6 / 8), 3)}
+
+
 def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_norm=None,
                       image_size=224):
     """Generic supervised train-step bench (CE + AdamW, bf16)."""
@@ -305,6 +361,16 @@ def main():
                                   "remat_policy": "dots_no_batch"},
                                  32, 934.0 / 32, image_size=384)
         extra.update({f"vit_l16_384_{k}": v for k, v in vitl.items()})
+        # MoCo v3 ViT-B pretrain (reference CI ips 631.6 on 8xA100 =
+        # 79.0/chip, case.sh mocov3 pt row)
+        m3 = bench_mocov3_b16()
+        extra.update({f"mocov3_b16_pt_{k}": v for k, v in m3.items()})
+        # MAE finetune = global-pool ViT-B classification (reference
+        # 3927 imgs/s on N4C32 = 122.7/chip, mae/README.md:255)
+        maeft = _bench_classifier({"name": "MAEVisionTransformer",
+                                   "softmax_dtype": "bfloat16"},
+                                  256, 3927.0 / 32)
+        extra.update({f"mae_ft_{k}": v for k, v in maeft.items()})
     if not os.environ.get("PASSL_BENCH_FAST"):
         vit = bench_vit_b16()
         extra.update({f"vit_b16_224_{k}": v for k, v in vit.items()})

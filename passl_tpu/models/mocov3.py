@@ -50,6 +50,8 @@ class MoCoV3ViT(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     stop_grad_conv1: bool = True
+    softmax_dtype: Any = "float32"  # attention-score precision (nn.layers.Attention)
+    attn_impl: str = "einsum"  # "einsum" | "flash" | "auto" (ops.attention)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -68,7 +70,9 @@ class MoCoV3ViT(nn.Module):
         x = jnp.concatenate([cls, x], axis=1) + pos.astype(x.dtype)
         for i in range(self.depth):
             x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
-                      dtype=self.dtype, name=f"blocks_{i}")(x, deterministic=not train)
+                      dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                      attn_impl=self.attn_impl,
+                      name=f"blocks_{i}")(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 0]
 
