@@ -247,7 +247,10 @@ def bench_mocov3_b16():
     sample = (jnp.zeros((2, 224, 224, 3), jnp.bfloat16),) * 2
     variables = jax.jit(functools.partial(model.init, train=True))(
         {"params": rng, "dropout": rng}, sample)
-    params = variables["params"]
+    params = dict(variables["params"])
+    # init-sync like Engine: momentum tower = full copy of base (incl.
+    # the predictor params, inert on the key path) so EMA trees match
+    params["momentum"] = jax.tree_util.tree_map(jnp.copy, params["base"])
     opt = build_optimizer({"name": "AdamW", "betas": (0.9, 0.95), "weight_decay": 0.1,
                            "one_dim_param_no_weight_decay": True}, params)
     lr_fn = build_lr_scheduler({"name": "TimmCosine", "learning_rate": 2.4e-3,

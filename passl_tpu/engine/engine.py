@@ -229,6 +229,15 @@ class Engine:
             overrides = self.model.optimizer_overrides()
             if overrides:
                 opt_cfg["param_group"] = list(opt_cfg.get("param_group", []) or []) + overrides
+        # init-sync EMA targets BEFORE the optimizer sees params: the
+        # copy can introduce keys the target tower never traces (e.g.
+        # momentum/predictor — inert on the key path) and the optimizer
+        # group assignment must cover them
+        # (reference param_k.set_value(param_q), moco.py:69-71)
+        if hasattr(self.model, "ema_map"):
+            for src, dst, _ in self.model.ema_map():
+                params = dict(params)
+                params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
         self.optimizer = build_optimizer(
             opt_cfg, params, frozen_patterns=frozen, num_layers=num_layers,
             lr_args=(self.epochs, max(self.steps_per_epoch, 1),
@@ -239,16 +248,19 @@ class Engine:
         if self.pretrained_model:
             params, self.model_state = io.load_pretrained_into(
                 self.pretrained_model, params, self.model_state)
+            # re-sync EMA targets from the loaded online tower (the
+            # reference syncs after weight load, moco.py:69-71)
+            if hasattr(self.model, "ema_map"):
+                for src, dst, _ in self.model.ema_map():
+                    params = dict(params)
+                    params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
 
-        # ---- EMA pairs (momentum encoders) + full-model EMA
+        # ---- EMA pairs (momentum encoders; init-sync happened above) +
+        # full-model EMA
         self.ema_pairs = []
         if hasattr(self.model, "ema_map"):
             for src, dst, ema_cfg in self.model.ema_map():
                 self.ema_pairs.append((src, dst, ema_momentum_schedule(ema_cfg, self.total_steps)))
-                # init-sync: target starts as a copy of the online tower
-                # (reference param_k.set_value(param_q), moco.py:69-71)
-                params = dict(params)
-                params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
         ema_cfg = config.get("EMA", None)
         self.full_ema_decay = None
         if ema_cfg:

@@ -146,8 +146,11 @@ class MoCoV3Pretrain(Model):
 
         q1 = base(x1, train=train)
         q2 = base(x2, train=train)
-        k1 = jax.lax.stop_gradient(momentum(x1, train=train))
-        k2 = jax.lax.stop_gradient(momentum(x2, train=train))
+        # keys = momentum backbone+projector output — the predictor is
+        # base-only (reference mocov3.py: momentum encoder has no
+        # predictor; the EMA'd predictor params here are inert)
+        k1 = jax.lax.stop_gradient(momentum(x1, train=train, run_predictor=False))
+        k2 = jax.lax.stop_gradient(momentum(x2, train=train, run_predictor=False))
 
         def ctr(q, k):
             q = l2_normalize(q.astype(jnp.float32), axis=1)

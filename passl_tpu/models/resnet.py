@@ -25,6 +25,9 @@ Dtype = Any
 
 def _make_norm(bn_splits: int, dtype, name: str, use_running_average: bool, momentum: float = 0.9,
                bn_stats_stride: int = 1):
+    if bn_splits > 1 and bn_stats_stride > 1:
+        raise ValueError("bn_splits and bn_stats_stride are mutually exclusive "
+                         "(SplitBatchNorm already computes per-split stats)")
     if bn_splits > 1:
         return SplitBatchNorm(
             num_splits=bn_splits,

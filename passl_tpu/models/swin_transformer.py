@@ -269,12 +269,10 @@ class SwinTransformer(Model):
         x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
 
         if self.remat:
-            policy = {
-                "nothing": None,
-                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                "dots": jax.checkpoint_policies.dots_saveable,
-            }[self.remat_policy]
-            BlockCls = nn.remat(SwinBlock, static_argnums=(2,), policy=policy)
+            from ..ops.attention import resolve_remat_policy
+
+            BlockCls = nn.remat(SwinBlock, static_argnums=(2,),
+                                policy=resolve_remat_policy(self.remat_policy))
         else:
             BlockCls = SwinBlock
 

@@ -100,12 +100,10 @@ class VisionTransformer(Model):
         # the backward pass (TPU equivalent of the reference's
         # recompute_warp over LayerLists, core/recompute.py:34-43)
         if self.remat:
-            policy = {
-                "nothing": None,
-                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                "dots": jax.checkpoint_policies.dots_saveable,
-            }[self.remat_policy]
-            BlockCls = nn.remat(Block, static_argnums=(2,), policy=policy)
+            from ..ops.attention import resolve_remat_policy
+
+            BlockCls = nn.remat(Block, static_argnums=(2,),
+                                policy=resolve_remat_policy(self.remat_policy))
         else:
             BlockCls = Block
         for i in range(self.depth):

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import multi_head_attention, resolve_attn_impl
+from ..ops.attention import einsum_attention, multi_head_attention, resolve_attn_impl
 from . import init as tinit
 
 Dtype = Any
@@ -121,11 +121,14 @@ class Attention(nn.Module):
         if impl == "flash":
             out = multi_head_attention(q, k, v, scale, impl="flash",
                                        out_dtype=self.dtype)
-        else:
+        elif self.attn_drop > 0.0 and not deterministic:
+            # dropout on the attention probs needs the materialized scores
             attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=acc)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
             out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, c)
+        else:
+            out = einsum_attention(q, k, v, scale, acc, self.dtype)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=self.kernel_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out

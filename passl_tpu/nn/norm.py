@@ -134,7 +134,10 @@ class SubsampledBatchNorm(nn.Module):
             mean = jnp.sum(sub, axis=red, dtype=jnp.float32) / count
             sq = jnp.einsum("...c,...c->c", sub, sub,
                             preferred_element_type=jnp.float32) / count
-            var = sq - jnp.square(mean)
+            # E[x^2]-mean^2 can go slightly negative from roundoff when
+            # |mean| >> std (flax clips identically) — unclamped it NaNs
+            # the output and poisons the running var
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var

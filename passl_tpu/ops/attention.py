@@ -57,17 +57,43 @@ def resolve_attn_impl(impl: str, seq_len: int, attn_drop: float = 0.0,
         and seq_len >= _LANES // 2 + 1  # pad overhead < ~2x
     )
     if impl == "flash":
+        if not flash_ok:
+            # explicit request downgraded — say why (trace-time only, so
+            # this fires once per compile, not per step)
+            import warnings
+
+            reason = ("attention dropout is active (kernel has no dropout)"
+                      if not (deterministic or attn_drop == 0.0)
+                      else "non-TPU backend" if not _tpu_backend()
+                      else f"sequence too short ({seq_len})")
+            warnings.warn(f"attn_impl=flash falling back to einsum: {reason}",
+                          stacklevel=2)
         return "flash" if flash_ok else "einsum"
     if impl == "auto":
         return "flash" if (flash_ok and seq_len >= _LANES) else "einsum"
     return "einsum"
 
 
+def resolve_remat_policy(name: str):
+    """Map a config-level remat_policy name to a jax.checkpoint policy
+    (shared by every backbone exposing the `remat`/`remat_policy` knobs)."""
+    policies = {
+        "nothing": None,  # save block inputs only (max memory savings)
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots": jax.checkpoint_policies.dots_saveable,
+    }
+    if name not in policies:
+        raise ValueError(
+            f"unknown remat_policy {name!r}; expected one of {sorted(policies)}")
+    return policies[name]
+
+
 def einsum_attention(q, k, v, scale: float, softmax_dtype: Any, out_dtype: Any):
     """[n, l, h, d] q/k/v -> [n, l, h*d]; scores at softmax_dtype."""
     n, l, h, d = q.shape
+    acc = jnp.dtype(softmax_dtype) if isinstance(softmax_dtype, str) else softmax_dtype
     attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k,
-                      preferred_element_type=softmax_dtype)
+                      preferred_element_type=acc)
     attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
     return jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, h * d)
 
@@ -98,13 +124,14 @@ def flash_attention(q, k, v, scale: float, out_dtype: Any):
     # vision shapes = short seq × huge batch: batch the grid's b dim so each
     # pallas program does enough work to cover launch overhead (block_b=1
     # default leaves n*h tiny programs -> 2x slower than einsum at l=256)
-    bb = int(os.environ.get("PASSL_FLASH_BLOCK_B", "8"))
+    bb = max(1, int(float(os.environ.get("PASSL_FLASH_BLOCK_B", "8"))))
     while n % bb:
         bb //= 2
+    bb = max(bb, 1)
     blk = next(b for b in (512, 384, 256, 128) if lp % b == 0)
     bs = _fa.BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk,
-        block_b=max(bb, 1),
+        block_b=bb,
         block_q_major_dkv=blk, block_k_major_dkv=blk,
         block_k_dkv=blk, block_q_dkv=blk,
         block_k_major_dq=blk, block_k_dq=blk,

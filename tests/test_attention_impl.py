@@ -28,9 +28,18 @@ def test_resolver_rejects_unknown():
 
 
 def test_resolver_attn_dropout_gate():
-    # attention-dropout in train mode is unsupported by the kernel
-    assert A.resolve_attn_impl("flash", 197, attn_drop=0.1,
-                               deterministic=False) == "einsum"
+    # attention-dropout in train mode is unsupported by the kernel; an
+    # explicit flash request must warn about the downgrade
+    with pytest.warns(UserWarning, match="falling back to einsum"):
+        assert A.resolve_attn_impl("flash", 197, attn_drop=0.1,
+                                   deterministic=False) == "einsum"
+
+
+def test_remat_policy_resolver():
+    assert A.resolve_remat_policy("nothing") is None
+    assert A.resolve_remat_policy("dots") is not None
+    with pytest.raises(ValueError, match="dots_nobatch"):
+        A.resolve_remat_policy("dots_nobatch")
 
 
 def test_einsum_attention_matches_manual():

@@ -99,6 +99,50 @@ def test_mocov3_pretrain_step(mesh):
     assert not np.allclose(b, mo)
 
 
+def test_mocov3_keys_skip_momentum_predictor(mesh):
+    """Keys = momentum backbone+projector only (reference mocov3.py: the
+    momentum encoder has no predictor) — perturbing the EMA'd momentum
+    predictor params must not change the loss."""
+    import functools
+
+    enc = {"img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2, "num_heads": 4}
+    model = build_model({"name": "MoCoV3Pretrain", "encoder": enc,
+                         "dim": 32, "mlp_dim": 64, "T": 0.2})
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    batch = (jnp.asarray(rs.rand(4, 32, 32, 3), jnp.float32),
+             jnp.asarray(rs.rand(4, 32, 32, 3), jnp.float32))
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": rng, "dropout": rng}, batch)
+
+    def loss_of(params):
+        out, _ = model.apply({**variables, "params": params}, batch, train=True,
+                             mutable=["batch_stats", "ssl"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+        return float(out["loss"])
+
+    flat = traverse_util.flatten_dict(variables["params"], sep="/")
+    # predictor exists on base only; momentum never traces it
+    assert any(k.startswith("base/predictor/") for k in flat)
+    assert not any(k.startswith("momentum/predictor/") for k in flat)
+
+    base_loss = loss_of(variables["params"])
+    # engine-style init-sync copies base (incl. predictor) onto momentum;
+    # those extra predictor params must be inert on the key path:
+    # momentum = old momentum + (perturbed) predictor subtree
+    mom = dict(variables["params"]["momentum"])
+    mom["predictor"] = jax.tree_util.tree_map(lambda t: t + 1.0,
+                                              variables["params"]["base"]["predictor"])
+    withpred = dict(variables["params"])
+    withpred["momentum"] = mom
+    assert loss_of(withpred) == base_loss
+    # but perturbing the momentum projector (head) DOES change keys/loss
+    mom2 = jax.tree_util.tree_map(lambda t: t + 1.0, dict(variables["params"]["momentum"]))
+    pert2_params = dict(variables["params"])
+    pert2_params["momentum"] = mom2
+    assert loss_of(pert2_params) != base_loss
+
+
 def test_linear_probe_only_head_trains(mesh):
     model = build_model({
         "name": "LinearProbe",

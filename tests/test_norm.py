@@ -55,6 +55,28 @@ def test_tiny_batch_falls_back_to_full_stats():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_large_mean_small_var_does_not_nan():
+    # E[x^2]-mean^2 roundoff can go negative when |mean| >> std; the
+    # clamp must keep outputs finite and running var non-negative
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(10000.0 + 0.1 * rng.randn(32, 2, 2, 3), jnp.float32)
+    y, stats, _ = _run(SubsampledBatchNorm(stats_stride=4), x)
+    assert np.isfinite(np.asarray(y)).all()
+    assert (np.asarray(stats["var"]) >= 0).all()
+
+
+def test_bn_splits_and_stride_mutually_exclusive():
+    from passl_tpu.models import build_model
+
+    model = build_model({"name": "resnet18", "num_classes": 4, "cifar_stem": True,
+                         "bn_splits": 4, "bn_stats_stride": 4})
+    x = jnp.zeros((8, 16, 16, 3), jnp.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        model.init(jax.random.PRNGKey(0), x, train=True)
+
+
 def test_resnet_accepts_bn_stats_stride():
     from passl_tpu.models import build_model
 
