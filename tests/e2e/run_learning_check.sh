@@ -5,12 +5,16 @@
 # probe as a learning system (not just "runs without NaN").
 set -euo pipefail
 cd "$(dirname "$0")/../.."
-METHOD=${1:-simclr}          # simclr | mocov2
+METHOD=${1:-simclr}          # simclr | mocov2 | byol | swav | mocov3
+PROBE_CFG=tests/e2e/probe_structured.yaml
+RENAME=backbone
 case "$METHOD" in
   simclr) CFG=tests/e2e/simclr_structured.yaml; PREFIX=backbone ;;
   mocov2) CFG=tests/e2e/mocov2_structured.yaml; PREFIX=encoder_q/backbone ;;
   byol)   CFG=tests/e2e/byol_structured.yaml;   PREFIX=online/backbone ;;
   swav)   CFG=tests/e2e/swav_structured.yaml;   PREFIX=backbone ;;
+  mocov3) CFG=tests/e2e/mocov3_structured.yaml; PREFIX=base/encoder
+          PROBE_CFG=tests/e2e/probe_mocov3_structured.yaml; RENAME=encoder ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
 esac
 OUT=/tmp/passl_learning_$METHOD
@@ -21,10 +25,10 @@ python -m passl_tpu.tools.train -c "$CFG" \
 
 python -m passl_tpu.tools.extract_weights \
   --checkpoint "$OUT/pretrain/latest.ckpt" \
-  --prefix "$PREFIX" --rename backbone \
+  --prefix "$PREFIX" --rename "$RENAME" \
   --output "$OUT/backbone.params"
 
-python -m passl_tpu.tools.train -c tests/e2e/probe_structured.yaml \
+python -m passl_tpu.tools.train -c "$PROBE_CFG" \
   -o Global.output_dir="$OUT/probe" \
   -o Global.pretrained_model="$OUT/backbone.params" | tee "$OUT/probe.log"
 
