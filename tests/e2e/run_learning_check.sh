@@ -15,6 +15,8 @@ case "$METHOD" in
   swav)   CFG=tests/e2e/swav_structured.yaml;   PREFIX=backbone ;;
   mocov3) CFG=tests/e2e/mocov3_structured.yaml; PREFIX=base/encoder
           PROBE_CFG=tests/e2e/probe_mocov3_structured.yaml; RENAME=encoder ;;
+  dino)   CFG=tests/e2e/dino_structured.yaml; PREFIX=student/backbone
+          PROBE_CFG=tests/e2e/probe_dino_structured.yaml; RENAME=encoder ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
 esac
 OUT=/tmp/passl_learning_$METHOD
