@@ -215,6 +215,122 @@ def bench_mae_b16():
             "vs_baseline": round(per_chip / (4984.0 / 24), 3)}
 
 
+def bench_swav_r50():
+    """SwAV R50 multi-crop (2x224 + 6x96) pretrain step incl. psum-free
+    single-chip sinkhorn + prototype renorm (reference CI pt ips 963.3
+    on 8xA100 = 120.4/chip)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from passl_tpu import distributed as dist
+    from passl_tpu.core import TrainState
+    from passl_tpu.engine.steps import make_train_step
+    from passl_tpu.models import build_model
+    from passl_tpu.optimizer import build_optimizer
+    from passl_tpu.scheduler import build_lr_scheduler
+
+    n_chips = len(jax.devices())
+    mesh = dist.init_dist_env()
+    bs = 64 * n_chips
+    model = build_model({
+        "name": "SwAV",
+        "backbone": {"name": "resnet50", "num_classes": 0, "with_pool": False},
+        "neck": {"name": "SwAVNeck", "hid_channels": 2048, "out_channels": 128},
+        "dim": 128, "num_prototypes": 3000, "temperature": 0.1, "epsilon": 0.05,
+        "sinkhorn_iterations": 3, "num_crops": [2, 6], "crops_for_assign": [0, 1],
+        "freeze_prototypes_iter": 313, "dtype": jnp.bfloat16,
+    })
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "sinkhorn": jax.random.PRNGKey(2)}
+    sample = [jnp.zeros((2, 224, 224, 3), jnp.bfloat16)] * 2 + \
+             [jnp.zeros((2, 96, 96, 3), jnp.bfloat16)] * 6
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, sample)
+    params = variables["params"]
+    opt = build_optimizer({"name": "MomentumLARS", "momentum": 0.9, "weight_decay": 1e-6,
+                           "one_dim_param_no_weight_decay": True}, params)
+    lr_fn = build_lr_scheduler({"name": "TimmCosine", "learning_rate": 1e-3,
+                                "warmup_epoch": 10}, epochs=100, steps_per_epoch=1000)
+    state = TrainState.create(params, {k: v for k, v in variables.items() if k != "params"},
+                              opt.init(params), jax.random.PRNGKey(0))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
+    rs = np.random.RandomState(0)
+    batch = [jax.device_put(rs.rand(bs, 224, 224, 3).astype(np.float32), sh).astype(jnp.bfloat16)
+             for _ in range(2)] + \
+            [jax.device_put(rs.rand(bs, 96, 96, 3).astype(np.float32), sh).astype(jnp.bfloat16)
+             for _ in range(6)]
+    step = jax.jit(make_train_step(model, opt, lr_fn), donate_argnums=0).lower(state, batch).compile()
+    sec = _time_step(step, state, batch)
+    per_chip = bs / sec / n_chips
+    return {"imgs_per_sec_per_chip": round(per_chip, 2),
+            "mfu": round(_compiled_flops(step) / sec / (PEAK_BF16 * n_chips), 4),
+            "batch": bs, "n_chips": n_chips,
+            "vs_baseline": round(per_chip / (963.3 / 8), 3)}
+
+
+def bench_cae_b16():
+    """CAE-B pretrain step: masked encoder + latent regressor + in-graph
+    dVAE targets (reference pt 4936 imgs/s on N4C32 = 154.3/chip)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from passl_tpu import distributed as dist
+    from passl_tpu.core import TrainState
+    from passl_tpu.engine.steps import make_train_step
+    from passl_tpu.models import build_model
+    from passl_tpu.optimizer import build_optimizer
+    from passl_tpu.scheduler import build_lr_scheduler
+
+    n_chips = len(jax.devices())
+    mesh = dist.init_dist_env()
+    bs = 64 * n_chips
+    model = build_model({
+        "name": "CAEPretrain", "img_size": 224, "patch_size": 16,
+        "embed_dim": 768, "depth": 12, "num_heads": 12, "regressor_depth": 4,
+        "vocab_size": 8192, "tokenizer": {"vocab_size": 8192, "hidden_dim": 256},
+        "align_weight": 2.0, "num_masked": 98, "dtype": jnp.bfloat16,
+    })
+    rs = np.random.RandomState(0)
+
+    def mk_mask(n):
+        m = np.zeros((n, 196), np.bool_)
+        for i in range(n):
+            m[i, rs.choice(196, 98, replace=False)] = True
+        return m
+
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    sample = (jnp.zeros((2, 224, 224, 3), jnp.bfloat16),
+              jnp.zeros((2, 112, 112, 3), jnp.bfloat16), jnp.asarray(mk_mask(2)))
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, sample)
+    params = variables["params"]
+    opt = build_optimizer({"name": "AdamW", "betas": (0.9, 0.98), "weight_decay": 0.05,
+                           "one_dim_param_no_weight_decay": True}, params,
+                          frozen_patterns=(model.frozen_patterns()
+                                           if hasattr(model, "frozen_patterns") else []))
+    lr_fn = build_lr_scheduler({"name": "TimmCosine", "learning_rate": 1e-3,
+                                "warmup_epoch": 10}, epochs=100, steps_per_epoch=1000)
+    state = TrainState.create(params, {k: v for k, v in variables.items() if k != "params"},
+                              opt.init(params), jax.random.PRNGKey(0))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
+    batch = (jax.device_put(rs.rand(bs, 224, 224, 3).astype(np.float32), sh).astype(jnp.bfloat16),
+             jax.device_put(rs.rand(bs, 112, 112, 3).astype(np.float32), sh).astype(jnp.bfloat16),
+             jax.device_put(mk_mask(bs), NamedSharding(mesh, P(dist.DATA_AXES, None))))
+    step = jax.jit(make_train_step(model, opt, lr_fn), donate_argnums=0).lower(state, batch).compile()
+    sec = _time_step(step, state, batch)
+    per_chip = bs / sec / n_chips
+    return {"imgs_per_sec_per_chip": round(per_chip, 2),
+            "mfu": round(_compiled_flops(step) / sec / (PEAK_BF16 * n_chips), 4),
+            "batch": bs, "n_chips": n_chips,
+            "vs_baseline": round(per_chip / (4936.0 / 32), 3)}
+
+
 def bench_mocov3_b16():
     """MoCo v3 ViT-B two-tower pretrain step incl. cosine-EMA momentum
     update (reference CI ips 631.6 on 8xA100 = 79.0/chip)."""
@@ -364,6 +480,14 @@ def main():
                                   "remat_policy": "dots_no_batch"},
                                  32, 934.0 / 32, image_size=384)
         extra.update({f"vit_l16_384_{k}": v for k, v in vitl.items()})
+        # SwAV R50 multi-crop pretrain (reference CI pt ips 963.3 on
+        # 8xA100 = 120.4/chip, case.sh swav pt row)
+        sw = bench_swav_r50()
+        extra.update({f"swav_r50_pt_{k}": v for k, v in sw.items()})
+        # CAE-B pretrain (reference 4936 imgs/s on N4C32 = 154.3/chip,
+        # cae/README.md:173)
+        cae_pt = bench_cae_b16()
+        extra.update({f"cae_b16_pt_{k}": v for k, v in cae_pt.items()})
         # MoCo v3 ViT-B pretrain (reference CI ips 631.6 on 8xA100 =
         # 79.0/chip, case.sh mocov3 pt row)
         m3 = bench_mocov3_b16()
