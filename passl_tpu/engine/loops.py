@@ -28,6 +28,30 @@ from ..utils import io, logger
 from ..utils.misc import SmoothedValue
 
 
+_MEM_STATS_OK: Optional[bool] = None  # None = unprobed; False = backend has none
+
+
+def _peak_mem_str() -> str:
+    """' max_mem: X.XX GB' from the device allocator (reference logs
+    max_memory_allocated per line, loop.py:102-118); empty string where
+    the backend reports no memory stats (CPU, tunneled test rigs — the
+    negative probe is cached so no per-log-line device RPC is retried)."""
+    global _MEM_STATS_OK
+    if _MEM_STATS_OK is False:
+        return ""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if not peak:
+            _MEM_STATS_OK = False
+            return ""
+        _MEM_STATS_OK = True
+        return f" max_mem: {peak / 2**30:.2f} GB"
+    except Exception:
+        _MEM_STATS_OK = False
+        return ""
+
+
 class _Loop:
     def __init__(self, engine):
         self.engine = engine
@@ -54,7 +78,7 @@ class _Loop:
             f"lr: {m.get('lr', 0):.8f} {loss_str} "
             f"batch_cost: {self.time_info['batch_cost'].avg:.5f}s "
             f"reader_cost: {self.time_info['reader_cost'].avg:.5f}s "
-            f"ips: {ips:.2f} imgs/s eta: {eta}"
+            f"ips: {ips:.2f} imgs/s eta: {eta}{_peak_mem_str()}"
         )
         for k, v in m.items():
             logger.scaler(f"train/{k}", v, global_step, e.writer)
