@@ -78,13 +78,14 @@ def main():
     e = Engine(cfg, mode="train")
     e.train()
     t = e.train_loop.time_info
-    ips = e.global_batch_size / max(t["batch_cost"].global_avg, 1e-9)
+    # window avg (last print_batch_step steps) excludes the compile step
+    ips = e.global_batch_size / max(t["batch_cost"].avg, 1e-9)
     print(json.dumps({
-        "e2e_ips": round(ips, 1),
-        "batch_cost_s": round(t["batch_cost"].global_avg, 4),
-        "reader_cost_s": round(t["reader_cost"].global_avg, 4),
-        "reader_fraction": round(t["reader_cost"].global_avg
-                                 / max(t["batch_cost"].global_avg, 1e-9), 3),
+        "e2e_ips_steady": round(ips, 1),
+        "batch_cost_s": round(t["batch_cost"].avg, 4),
+        "reader_cost_s": round(t["reader_cost"].avg, 4),
+        "reader_fraction": round(t["reader_cost"].avg
+                                 / max(t["batch_cost"].avg, 1e-9), 3),
         "steps": args.steps, "batch": args.batch,
     }))
 
