@@ -17,6 +17,8 @@ case "$METHOD" in
           PROBE_CFG=tests/e2e/probe_mocov3_structured.yaml; RENAME=encoder ;;
   dino)   CFG=tests/e2e/dino_structured.yaml; PREFIX=student/backbone
           PROBE_CFG=tests/e2e/probe_dino_structured.yaml; RENAME=encoder ;;
+  mae)    CFG=tests/e2e/mae_structured.yaml; PREFIX=__mae__
+          PROBE_CFG=tests/e2e/probe_mae_structured.yaml ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
 esac
 OUT=/tmp/passl_learning_$METHOD
@@ -25,10 +27,41 @@ rm -rf "$OUT"
 python -m passl_tpu.tools.train -c "$CFG" \
   -o Global.output_dir="$OUT/pretrain"
 
-python -m passl_tpu.tools.extract_weights \
-  --checkpoint "$OUT/pretrain/latest.ckpt" \
-  --prefix "$PREFIX" --rename "$RENAME" \
-  --output "$OUT/backbone.params"
+if [ "$PREFIX" = "__mae__" ]; then
+  # MAE encoder weights live at the checkpoint top level next to the
+  # decoder; the probe ViT also needs norm->fc_norm and a pos_embed
+  # param (MAE pretrains with a FIXED sincos embed — inject it so the
+  # frozen features keep their spatial alignment)
+  python - "$OUT" <<'PYEOF'
+import sys
+from flax import serialization, traverse_util
+import numpy as np
+from passl_tpu.models.utils.pos_embed import get_2d_sincos_pos_embed
+from passl_tpu.utils import io
+
+out = sys.argv[1]
+state = serialization.msgpack_restore(open(f"{out}/pretrain/latest.ckpt", "rb").read())
+flat = traverse_util.flatten_dict(state["params"], sep="/")
+keep = {}
+for k, v in flat.items():
+    # encoder only; decoder_* dropped, pretrain 'norm' dropped (the
+    # reference MAE global-pool finetune re-inits fc_norm fresh)
+    if k.startswith(("patch_embed/", "cls_token", "blocks_")):
+        keep[f"backbone/{k}"] = v
+embed_dim = keep["backbone/cls_token"].shape[-1]
+p = flat["patch_embed/proj/kernel"].shape[0]
+grid = 32 // p
+keep["backbone/pos_embed"] = np.asarray(
+    get_2d_sincos_pos_embed(embed_dim, grid, cls_token=True))[None].astype(np.float32)
+io.save_params(traverse_util.unflatten_dict(keep, sep="/"), f"{out}/backbone.params")
+print(f"MAE extract: {len(keep)} tensors (sincos pos_embed injected, grid {grid})")
+PYEOF
+else
+  python -m passl_tpu.tools.extract_weights \
+    --checkpoint "$OUT/pretrain/latest.ckpt" \
+    --prefix "$PREFIX" --rename "$RENAME" \
+    --output "$OUT/backbone.params"
+fi
 
 python -m passl_tpu.tools.train -c "$PROBE_CFG" \
   -o Global.output_dir="$OUT/probe" \
