@@ -19,6 +19,9 @@ case "$METHOD" in
           PROBE_CFG=tests/e2e/probe_dino_structured.yaml; RENAME=encoder ;;
   mae)    CFG=tests/e2e/mae_structured.yaml; PREFIX=__mae__
           PROBE_CFG=tests/e2e/probe_mae_structured.yaml ;;
+  simsiam) CFG=tests/e2e/simsiam_structured.yaml; PREFIX=encoder/backbone ;;
+  dinov2) CFG=tests/e2e/dinov2_structured.yaml; PREFIX=student/backbone
+          PROBE_CFG=tests/e2e/probe_dinov2_structured.yaml; RENAME=encoder ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
 esac
 OUT=/tmp/passl_learning_$METHOD
