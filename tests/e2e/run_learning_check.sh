@@ -20,6 +20,8 @@ case "$METHOD" in
   mae)    CFG=tests/e2e/mae_structured.yaml; PREFIX=__mae__
           PROBE_CFG=tests/e2e/probe_mae_structured.yaml ;;
   simsiam) CFG=tests/e2e/simsiam_structured.yaml; PREFIX=encoder/backbone ;;
+  convmae) CFG=tests/e2e/convmae_structured.yaml; PREFIX=__convmae__
+          PROBE_CFG=tests/e2e/probe_convmae_structured.yaml ;;
   dinov2) CFG=tests/e2e/dinov2_structured.yaml; PREFIX=student/backbone
           PROBE_CFG=tests/e2e/probe_dinov2_structured.yaml; RENAME=encoder ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
@@ -30,7 +32,24 @@ rm -rf "$OUT"
 python -m passl_tpu.tools.train -c "$CFG" \
   -o Global.output_dir="$OUT/pretrain"
 
-if [ "$PREFIX" = "__mae__" ]; then
+if [ "$PREFIX" = "__convmae__" ]; then
+  # ConvMAE encoder weights (conv stages + transformer stage) live at
+  # the checkpoint top level; pos embeds are fixed sincos in BOTH
+  # pretrain and ConvViT, so a name-filtered copy is enough
+  python - "$OUT" <<'PYEOF'
+import sys
+from flax import serialization, traverse_util
+from passl_tpu.utils import io
+
+out = sys.argv[1]
+state = serialization.msgpack_restore(open(f"{out}/pretrain/latest.ckpt", "rb").read())
+flat = traverse_util.flatten_dict(state["params"], sep="/")
+keep = {f"backbone/{k}": v for k, v in flat.items()
+        if k.startswith(("patch_embed", "blocks1_", "blocks2_", "blocks3_"))}
+io.save_params(traverse_util.unflatten_dict(keep, sep="/"), f"{out}/backbone.params")
+print(f"ConvMAE extract: {len(keep)} tensors")
+PYEOF
+elif [ "$PREFIX" = "__mae__" ]; then
   # MAE encoder weights live at the checkpoint top level next to the
   # decoder; the probe ViT also needs norm->fc_norm and a pos_embed
   # param (MAE pretrains with a FIXED sincos embed — inject it so the
