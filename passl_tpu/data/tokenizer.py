@@ -4,9 +4,13 @@ Capability parity with reference `passl_v110/modeling/utils/tokenizer.py`
 (`SimpleTokenizer:65`): byte-level BPE over a merges vocabulary with
 <|startoftext|>/<|endoftext|> specials and fixed context length. The
 merges file (e.g. the standard 16e6 CLIP vocabulary, optionally .gz) is
-supplied by the user via `bpe_path`; when absent, a deterministic
-byte-level fallback vocabulary is constructed so pipelines/tests run
-without external assets.
+vendored in-package (`data/assets/bpe_simple_vocab_16e6.txt.gz`, the
+standard public CLIP vocabulary, same asset the reference ships at
+`passl_v110/utils/bpe_simple_vocab_16e6.txt.gz`) and used by default,
+so out-of-the-box text encoding matches reference/CLIP semantics
+(vocab_size 49408, sot 49406, eot 49407). Pass ``bpe_path=""`` to get
+the deterministic byte-level fallback vocabulary (no merges) for
+asset-free unit tests.
 """
 from __future__ import annotations
 
@@ -53,8 +57,14 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+DEFAULT_BPE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "assets", "bpe_simple_vocab_16e6.txt.gz")
+
+
 class SimpleTokenizer:
     def __init__(self, bpe_path: Optional[str] = None, context_length: int = 77):
+        if bpe_path is None:
+            bpe_path = DEFAULT_BPE_PATH
         self.context_length = context_length
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}

@@ -246,12 +246,23 @@ class Engine:
 
         # ---- pretrained (params + bundled BN running stats if present)
         if self.pretrained_model:
+            load_report = {}
             params, self.model_state = io.load_pretrained_into(
-                self.pretrained_model, params, self.model_state)
+                self.pretrained_model, params, self.model_state,
+                report=load_report)
             # re-sync EMA targets from the loaded online tower (the
-            # reference syncs after weight load, moco.py:69-71)
+            # reference syncs after weight load, moco.py:69-71) — but only
+            # towers the pretrained file did NOT itself cover: a converted
+            # two-tower checkpoint (continuing pretraining) carries a
+            # diverged momentum encoder that must not be clobbered
             if hasattr(self.model, "ema_map"):
+                loaded = load_report.get("loaded", set())
                 for src, dst, _ in self.model.ema_map():
+                    if any(k == dst or k.startswith(dst + "/") for k in loaded):
+                        logger.info(
+                            f"pretrained file covers EMA tower '{dst}' — "
+                            f"keeping its loaded weights (no re-sync from '{src}')")
+                        continue
                     params = dict(params)
                     params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
 

@@ -147,8 +147,11 @@ class MoCoV3Pretrain(Model):
         q1 = base(x1, train=train)
         q2 = base(x2, train=train)
         # keys = momentum backbone+projector output — the predictor is
-        # base-only (reference mocov3.py: momentum encoder has no
-        # predictor; the EMA'd predictor params here are inert)
+        # base-only (reference tasks/ssl/mocov3/builder_moco.py, the
+        # canonical entry point: momentum encoder wraps only the base
+        # encoder, no predictor; note reference passl/models/mocov3.py:133-134
+        # DISAGREES — it EMAs Sequential(encoder, predictor) — so parity
+        # comparisons against that file's checkpoints/losses will differ)
         k1 = jax.lax.stop_gradient(momentum(x1, train=train, run_predictor=False))
         k2 = jax.lax.stop_gradient(momentum(x2, train=train, run_predictor=False))
 

@@ -16,8 +16,9 @@ q/k/v (the layout our Attention modules produce):
 
 ``resolve_attn_impl`` lets configs say ``attn_impl: flash`` while tests
 and CPU runs transparently fall back to einsum (the kernel is
-TPU-only); ``auto`` picks flash on TPU when the shape is big enough to
-win (seq >= 128 after padding considerations) and einsum otherwise.
+TPU-only); ``auto`` picks einsum everywhere in the vision zoo and only
+switches to flash at multi-thousand-token sequences, the measured
+crossover region (docs/benchmarks.md: einsum wins at seq 256 and 640).
 """
 from __future__ import annotations
 
@@ -29,6 +30,10 @@ import jax
 import jax.numpy as jnp
 
 _LANES = 128
+# auto->flash only above this seq len: einsum measured faster at every
+# zoo length (<=640); flash's no-materialization win needs O(L^2) scores
+# large enough to hurt XLA (multi-thousand tokens).
+_FLASH_AUTO_MIN_SEQ = 4096
 
 
 @functools.cache
@@ -70,7 +75,12 @@ def resolve_attn_impl(impl: str, seq_len: int, attn_drop: float = 0.0,
                           stacklevel=2)
         return "flash" if flash_ok else "einsum"
     if impl == "auto":
-        return "flash" if (flash_ok and seq_len >= _LANES) else "einsum"
+        # Measured on v5e (docs/benchmarks.md): XLA einsum beats the Pallas
+        # flash kernel at every vision-zoo sequence length (seq 256: 878 vs
+        # 523 imgs/s; seq 640: 54.6 vs 28.3). Flash only pays once the
+        # O(L^2) score matrix stops fitting/fusing well — multi-thousand
+        # tokens — so `auto` picks einsum until that crossover.
+        return "flash" if (flash_ok and seq_len >= _FLASH_AUTO_MIN_SEQ) else "einsum"
     return "einsum"
 
 

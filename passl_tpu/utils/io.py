@@ -195,7 +195,7 @@ def save_params(params, path: str):
     os.replace(tmp, path)
 
 
-def load_pretrained_into(path: str, params, model_state=None):
+def load_pretrained_into(path: str, params, model_state=None, report=None):
     """Load pretrained params, tolerating missing/extra keys and shape
     mismatches (reference `Model.load_pretrained` semantics: warn and
     keep the fresh init for mismatches — e.g. a new classifier head).
@@ -203,7 +203,12 @@ def load_pretrained_into(path: str, params, model_state=None):
     Files saved by extract_weights may bundle BN running statistics as
     {"params": ..., "batch_stats": ...}; when `model_state` is given,
     matching batch_stats entries are merged into it (returning
-    (params, model_state)), otherwise only params are returned."""
+    (params, model_state)), otherwise only params are returned.
+
+    When `report` is a dict, it is populated with "loaded" — the set of
+    flattened ("/"-joined) param keys actually taken from the file —
+    so callers (e.g. EMA re-sync in the engine) can tell which towers
+    the pretrained file really covered."""
     with open(path, "rb") as f:
         blob = f.read()
     loaded = serialization.msgpack_restore(blob)
@@ -246,6 +251,9 @@ def load_pretrained_into(path: str, params, model_state=None):
     if extra:
         logger.warning(f"pretrained load: {len(extra)} unused keys in file")
     logger.info(f"loaded pretrained weights from {path}")
+    if report is not None:
+        report["loaded"] = {k for k in flat_new
+                            if k in flat_loaded and k not in mismatched}
     new_params = traverse_util.unflatten_dict(out, sep="/")
     if model_state is None:
         return new_params

@@ -198,11 +198,14 @@ def main():
         g = goldens[name]
         if not np.isclose(r["loss"], g["loss"], rtol=1e-4, atol=1e-5):
             failures.append(f"{name}: loss {r['loss']} != golden {g['loss']}")
-        # ips gate only for compute-bound cases: when the golden implies
-        # < 50 ms/step, the measurement is tunnel-dispatch jitter, not
-        # device throughput, and any budget just flakes
+        # ips gate only on the real device AND for compute-bound cases:
+        # CPU-platform throughput on a shared 1-core rig measures host
+        # load, not regressions (a loss-exact run can false-fail); and
+        # when the golden implies < 50 ms/step the measurement is
+        # tunnel-dispatch jitter, not device throughput
         implied_ms = 1000.0 * _global_batch(spec) / max(g["ips"], 1e-9)
-        if implied_ms >= 50.0 and r["ips"] < g["ips"] * args.ips_budget:
+        if platform != "cpu" and implied_ms >= 50.0 \
+                and r["ips"] < g["ips"] * args.ips_budget:
             failures.append(f"{name}: ips {r['ips']} < {args.ips_budget:.0%} of golden {g['ips']}")
 
     if args.update:

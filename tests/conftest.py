@@ -21,6 +21,20 @@ if os.environ.get("PASSL_TPU_TEST_PLATFORM", "cpu") == "cpu":
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_xla_executables():
+    """Drop compiled XLA executables between test modules.
+
+    One pytest process over the full tier used to accumulate hundreds
+    of CPU executables and abort with a fatal XLA runtime error at
+    ~75% (8 GB host). Clearing per module bounds live executables to
+    one module's worth at the cost of a few cross-module recompiles,
+    letting plain `pytest tests/` complete (run_full.sh sharding is no
+    longer required, just faster on repeat runs)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mesh():
     from passl_tpu import distributed as dist

@@ -54,7 +54,7 @@ elif [ "$PREFIX" = "__mae__" ]; then
   # decoder; the probe ViT also needs norm->fc_norm and a pos_embed
   # param (MAE pretrains with a FIXED sincos embed — inject it so the
   # frozen features keep their spatial alignment)
-  python - "$OUT" <<'PYEOF'
+  python - "$OUT" "$CFG" <<'PYEOF'
 import sys
 from flax import serialization, traverse_util
 import numpy as np
@@ -72,7 +72,16 @@ for k, v in flat.items():
         keep[f"backbone/{k}"] = v
 embed_dim = keep["backbone/cls_token"].shape[-1]
 p = flat["patch_embed/proj/kernel"].shape[0]
-grid = 32 // p
+# derive the pretrain grid from the checkpoint itself (decoder pos_embed
+# token count = grid^2 + 1 cls), not a hardcoded image size — a future
+# e2e config at another resolution must not silently misalign the probe
+dec_pe = flat.get("decoder_pos_embed")
+if dec_pe is not None:
+    grid = int(round((dec_pe.shape[-2] - 1) ** 0.5))
+else:  # fixed sincos never saved: fall back to the config's img_size
+    import yaml
+    cfg = yaml.safe_load(open(sys.argv[2]))
+    grid = int(cfg["Model"].get("img_size", 32)) // p
 keep["backbone/pos_embed"] = np.asarray(
     get_2d_sincos_pos_embed(embed_dim, grid, cls_token=True))[None].astype(np.float32)
 io.save_params(traverse_util.unflatten_dict(keep, sep="/"), f"{out}/backbone.params")

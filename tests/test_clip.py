@@ -16,8 +16,28 @@ import pytest
 pytestmark = pytest.mark.slow  # compile-heavy (smoke tier skips)
 
 
+def test_tokenizer_clip_parity_golden():
+    """Default (vendored 16e6 vocab) must reproduce known OpenAI-CLIP
+    token ids — same asset the reference ships
+    (passl_v110/utils/bpe_simple_vocab_16e6.txt.gz, tokenizer.py:30-65)."""
+    tok = SimpleTokenizer()
+    assert tok.vocab_size == 49408
+    assert (tok.sot, tok.eot) == (49406, 49407)
+    golden = {
+        "a photo of a cat": [49406, 320, 1125, 539, 320, 2368, 49407],
+        "hello world": [49406, 3306, 1002, 49407],
+        "a diagram": [49406, 320, 22697, 49407],
+        "A photo of a DOG.": [49406, 320, 1125, 539, 320, 1929, 269, 49407],
+    }
+    for text, ids in golden.items():
+        got = tok.tokenize(text)[0][: len(ids)].tolist()
+        assert got == ids, (text, got)
+    # decode inverts encode (modulo lowercasing) for plain text
+    assert tok.decode(tok.encode("a photo of a cat")) == "a photo of a cat"
+
+
 def test_tokenizer_roundtrip_and_shape():
-    tok = SimpleTokenizer()  # byte-level fallback vocab (no merges file)
+    tok = SimpleTokenizer(bpe_path="")  # byte-level fallback vocab (no merges file)
     out = tok.tokenize(["hello world", "a cat sat on the mat"])
     assert out.shape == (2, 77)
     assert out[0, 0] == tok.sot
