@@ -41,6 +41,18 @@ from .steps import (ema_momentum_schedule, make_eval_metrics_step,
                     make_eval_step, make_train_step)
 
 
+def _maybe_force_platform():
+    """Honor PASSL_PLATFORM=cpu|tpu before the first backend touch.
+
+    Needed because an installed sitecustomize may force-set
+    `jax_platforms` (the env var alone is then ignored) — multi-process
+    CPU tests launch workers with PASSL_PLATFORM=cpu to get the virtual
+    device mesh regardless."""
+    plat = os.environ.get("PASSL_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 def _maybe_init_multihost():
     """Multi-host bring-up (replaces `paddle.distributed.launch` env
     plumbing, SURVEY §3.1): on TPU pods `jax.distributed.initialize()`
@@ -84,6 +96,7 @@ def _enable_compile_cache():
 
 class Engine:
     def __init__(self, config: Dict[str, Any], mode: str = "train"):
+        _maybe_force_platform()
         _maybe_init_multihost()
         _enable_compile_cache()
         self.config = config

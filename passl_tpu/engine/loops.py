@@ -245,12 +245,39 @@ class ClassificationEvaluationLoop(_Loop):
     def __init__(self, engine):
         super().__init__(engine)
 
+    @staticmethod
+    def _host_rows(garr, rank: int, bs: int, nproc: int) -> np.ndarray:
+        """Materialize this process's row block of a global array (the
+        whole array single-process)."""
+        if nproc == 1:
+            return np.asarray(garr)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .. import distributed as dist
+
+        rep = jax.jit(lambda x: x,
+                      out_shardings=NamedSharding(dist.get_mesh(), P()))(garr)
+        return np.asarray(rep)[rank * bs:(rank + 1) * bs]
+
     def run(self) -> Optional[float]:
+        import jax
+
         e = self.engine
         if e.eval_dataloader is None:
             return None
         n_total = len(e.eval_dataloader.dataset)
-        seen = 0
+        # per-process share of the REAL samples: the sampler strides
+        # rank::P over a wrap-padded index list, so this process's
+        # stream holds ceil((n_total - rank)/P) non-duplicate samples,
+        # all before any wrapped tail — capping `take` here masks both
+        # the ragged-tail padding and the wrap duplicates (reference
+        # trims the oversampled tail after all_gather,
+        # classification_loop.py:213-218)
+        nproc, rank = jax.process_count(), jax.process_index()
+        local_total = max(0, -(-(n_total - rank) // nproc))
+        seen = 0          # local real samples consumed (loop accounting)
+        global_seen = 0.0  # device-counted global valid samples (denominator)
         sums: Dict[str, float] = {}
         tic = time.perf_counter()
         eval_ema = getattr(e, "eval_step_ema", None)
@@ -261,7 +288,7 @@ class ClassificationEvaluationLoop(_Loop):
             images, labels = batch if not isinstance(batch, dict) else (batch["image"], batch["label"])
             images, labels = np.asarray(images), np.asarray(labels)
             bs = len(labels)
-            take = min(bs, n_total - seen)
+            take = min(bs, local_total - seen)
             if take <= 0:
                 break
             if full_bs is None:
@@ -278,33 +305,60 @@ class ClassificationEvaluationLoop(_Loop):
             valid[:take] = True
             if metrics_step is not None:
                 # device path: forward + top-k fused under jit; only
-                # scalar sums come back to host
+                # scalar sums come back to host. Sums AND count are
+                # global (all shards), so the final divide is
+                # process-topology independent.
                 gi, gl, gv = e.shard_batch((images, labels.astype(np.int32), valid))
-                for k, v in metrics_step(e.state, gi, gl, gv).items():
+                out = dict(metrics_step(e.state, gi, gl, gv))
+                global_seen += float(out.pop("count"))
+                for k, v in out.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
                 if metrics_step_ema is not None:
-                    for k, v in metrics_step_ema(e.state, gi, gl, gv).items():
+                    out_ema = dict(metrics_step_ema(e.state, gi, gl, gv))
+                    out_ema.pop("count", None)
+                    for k, v in out_ema.items():
                         sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v)
             else:
+                # host-logits path (non-top-k metrics like mAP): the
+                # eval output is a GLOBAL array; replicate it so every
+                # process can materialize it, then score only this
+                # process's row block (local sums reduced across
+                # processes after the loop)
                 gimages = e.shard_batch(images)
-                logits = np.asarray(e.eval_step(e.state, gimages))[:take]
+                glogits = e.eval_step(e.state, gimages)
+                logits = self._host_rows(glogits, rank, len(images), nproc)[:take]
                 lab = labels[:take]
                 for metric in e.metric_fns:
                     for k, v in metric(logits, lab).items():
                         sums[k] = sums.get(k, 0.0) + float(v) * take
                 if eval_ema is not None:
-                    ema_logits = np.asarray(eval_ema(e.state, gimages))[:take]
+                    ema_logits = self._host_rows(eval_ema(e.state, gimages), rank, len(images), nproc)[:take]
                     for metric in e.metric_fns:
                         for k, v in metric(ema_logits, lab).items():
                             sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v) * take
             seen += take
-        if seen == 0:
+        if metrics_step is not None:
+            denom = global_seen
+        else:
+            # reference SmoothedValue.synchronize_between_processes
+            # semantics (misc.py:110): all-reduce the host-side sums +
+            # counts so every process reports the global average
+            if nproc > 1:
+                from jax.experimental import multihost_utils
+
+                keys = sorted(sums)
+                vec = np.asarray([float(seen)] + [sums[k] for k in keys], np.float64)
+                allv = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+                seen, sums = int(allv[0]), {k: allv[1 + i] for i, k in enumerate(keys)}
+            denom = seen
+        if denom == 0:
             return None
-        avg = {k: v / seen for k, v in sums.items()}
+        avg = {k: v / denom for k, v in sums.items()}
         cost = time.perf_counter() - tic
+        n_shown = int(denom)
         logger.info(
             "[Eval] " + " ".join(f"{k}: {v:.5f}" for k, v in avg.items())
-            + f" ({seen} samples, {cost:.1f}s, {seen / cost:.1f} imgs/s)"
+            + f" ({n_shown} samples, {cost:.1f}s, {n_shown / cost:.1f} imgs/s)"
         )
         for k, v in avg.items():
             logger.scaler(f"eval/{k}", v, int(self.engine.state.step), self.engine.writer)

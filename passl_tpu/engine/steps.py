@@ -237,7 +237,12 @@ def make_eval_metrics_step(model, topk: Sequence[int] = (1, 5), *, use_ema: bool
         kk = min(maxk, logits.shape[-1])  # tiny CI configs may have < maxk classes
         _, pred = jax.lax.top_k(logits.astype(jnp.float32), kk)
         correct = (pred == labels[:, None]) & valid[:, None]
-        return {f"top{k}": jnp.sum(jnp.any(correct[:, :min(k, kk)], axis=-1).astype(jnp.float32))
-                for k in topk}
+        out = {f"top{k}": jnp.sum(jnp.any(correct[:, :min(k, kk)], axis=-1).astype(jnp.float32))
+               for k in topk}
+        # the sums above are GLOBAL (over every shard of the batch);
+        # ship the matching global denominator so multi-process loops
+        # don't divide by a process-local count
+        out["count"] = jnp.sum(valid.astype(jnp.float32))
+        return out
 
     return step
