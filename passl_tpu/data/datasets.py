@@ -328,3 +328,45 @@ class StructuredSyntheticDataset(Dataset):
 
 
 DATASETS["StructuredSyntheticDataset"] = StructuredSyntheticDataset
+
+
+class StructuredTextImageDataset(StructuredSyntheticDataset):
+    """Structured images paired with class-describing captions — the
+    CLIP learning check set. Captions are natural-language templates
+    over a per-class keyword, tokenized with the real (vendored) BPE
+    vocabulary, so contrastive image-text training must align the
+    visual sinusoid pattern with the caption's class word to solve
+    retrieval on held-out pairs."""
+
+    CLASS_WORDS = ["river", "mountain", "forest", "desert", "ocean",
+                   "glacier", "meadow", "canyon", "volcano", "island"]
+    TEMPLATES = ["a photo of a {}", "an image showing a {}",
+                 "this is a picture of a {}", "a {} scene"]
+
+    def __init__(self, size: int = 2048, image_size: int = 32, num_classes: int = 10,
+                 noise: float = 0.35, transform=None, index_offset: int = 0,
+                 context_length: int = 32, bpe_path=None):
+        super().__init__(size=size, image_size=image_size, num_classes=num_classes,
+                         noise=noise, transform=transform, with_label=False,
+                         index_offset=index_offset)
+        from .tokenizer import SimpleTokenizer
+
+        assert num_classes <= len(self.CLASS_WORDS)
+        self.tokenizer = SimpleTokenizer(bpe_path=bpe_path, context_length=context_length)
+
+    def caption(self, label: int, idx: int) -> str:
+        tpl = self.TEMPLATES[idx % len(self.TEMPLATES)]
+        return tpl.format(self.CLASS_WORDS[label])
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        gidx = idx + self.index_offset
+        label = gidx % self.num_classes
+        rs = np.random.RandomState(gidx)
+        img = self.transform(Image.fromarray(self._pattern(label, rs)))
+        text = self.tokenizer.tokenize(self.caption(label, gidx))[0]
+        return {"image": img, "text": text}
+
+
+DATASETS["StructuredTextImageDataset"] = StructuredTextImageDataset

@@ -536,16 +536,37 @@ class RandomResizedCropWithCoords(RandomResizedCrop):
 
 class PixProTwoViewsTransform:
     """Two coordinate-tracked crops, each through its own post pipeline.
-    Yields {'view1','view2','coord1','coord2'} for PixPro."""
+    Yields {'view1','view2','coord1','coord2'} for PixPro.
 
-    def __init__(self, crop, post_transform1, post_transform2=None):
+    Horizontal flips must be coordinate-tracked too (an untracked flip
+    breaks the per-cell correspondence the loss is built on), so they
+    happen HERE, not in the post pipeline: a flip mirrors the image and
+    swaps coord x1<->x2, giving a negative box width that mirrors the
+    cell-center grid in pixpro_regression_loss — reference
+    img_pil_pixpro_transforms.py flip semantics."""
+
+    def __init__(self, crop, post_transform1, post_transform2=None,
+                 flip_prob: float = 0.5):
         self.crop = crop if callable(crop) else RandomResizedCropWithCoords(**crop)
         self.post1 = build_transform(post_transform1)
         self.post2 = build_transform(post_transform2) if post_transform2 else self.post1
+        self.flip_prob = flip_prob
+
+    def _crop_flip(self, img):
+        v, c = self.crop(img)
+        if random.random() < self.flip_prob:
+            if isinstance(v, np.ndarray):
+                v = np.ascontiguousarray(v[:, ::-1])
+            else:
+                from PIL import Image
+
+                v = v.transpose(Image.FLIP_LEFT_RIGHT)
+            c = np.asarray([c[2], c[1], c[0], c[3]], np.float32)
+        return v, c
 
     def __call__(self, img):
-        v1, c1 = self.crop(img)
-        v2, c2 = self.crop(img)
+        v1, c1 = self._crop_flip(img)
+        v2, c2 = self._crop_flip(img)
         return {"view1": self.post1(v1), "view2": self.post2(v2),
                 "coord1": c1, "coord2": c2}
 

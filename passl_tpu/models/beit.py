@@ -192,7 +192,12 @@ class BEiTFinetune(Model):
     encoder: Any = None
     num_classes: int = 1000
     global_pool: bool = True
+    # True = linear probe: freeze the encoder, train only the head
+    freeze_encoder: bool = False
     dtype: Any = jnp.float32
+
+    def frozen_patterns(self):
+        return [r"^encoder/"] if self.freeze_encoder else []
 
     @nn.compact
     def __call__(self, x, train: bool = True):

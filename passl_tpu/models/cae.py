@@ -154,7 +154,12 @@ class CAEFinetune(Model):
     mlp_ratio: float = 4.0
     num_classes: int = 1000
     global_pool: bool = True
+    # True = linear probe: freeze everything except the head
+    freeze_encoder: bool = False
     dtype: Any = jnp.float32
+
+    def frozen_patterns(self):
+        return [r"^(patch_embed|blocks_|norm)"] if self.freeze_encoder else []
 
     @nn.compact
     def __call__(self, x, train: bool = True):

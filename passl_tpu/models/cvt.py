@@ -130,6 +130,11 @@ class CvT(Model):
 for _name, _cfg in {
     "CvT_13_224": dict(depths=(1, 2, 10), embed_dims=(64, 192, 384), num_heads=(1, 3, 6)),
     "CvT_21_224": dict(depths=(1, 4, 16), embed_dims=(64, 192, 384), num_heads=(1, 3, 6)),
+    # 384 finetune variants (reference configs/cvt/cvt_{13,21}_384.yaml)
+    # — conv-stage model, resolution comes from the data pipeline; the
+    # aliases keep the reference recipe names resolvable
+    "CvT_13_384": dict(depths=(1, 2, 10), embed_dims=(64, 192, 384), num_heads=(1, 3, 6)),
+    "CvT_21_384": dict(depths=(1, 4, 16), embed_dims=(64, 192, 384), num_heads=(1, 3, 6)),
     "CvT_W24_384": dict(depths=(2, 2, 20), embed_dims=(192, 768, 1024), num_heads=(3, 12, 16)),
 }.items():
     def _make(cfg=_cfg):

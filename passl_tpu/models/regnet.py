@@ -28,6 +28,16 @@ def generate_regnet(w_a: float, w_0: int, w_m: float, depth: int, q: int = 8) ->
     return stage_widths, stage_depths
 
 
+def adjust_widths_groups(widths: List[int], group_width: int) -> Tuple[List[int], List[int]]:
+    """Round each stage width to a multiple of its (capped) group width
+    (reference regnet.py adjust_ws_gs semantics) — without this, large
+    group widths (e.g. RegNetY-160's 112) leave widths the grouped conv
+    cannot split."""
+    gs = [min(group_width, w) for w in widths]
+    ws = [int(round(w / g) * g) for w, g in zip(widths, gs)]
+    return ws, gs
+
+
 class SE(nn.Module):
     reduced: int
     dtype: Any = jnp.float32
@@ -80,14 +90,15 @@ class RegNet(Model):
     @nn.compact
     def __call__(self, x, train: bool = True):
         widths, depths = generate_regnet(self.w_a, self.w_0, self.w_m, self.depth)
+        widths, group_ws = adjust_widths_groups(widths, self.group_width)
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
-        for si, (w, d) in enumerate(zip(widths, depths)):
+        for si, (w, gw, d) in enumerate(zip(widths, group_ws, depths)):
             for bi in range(d):
-                x = XBlock(w, 2 if bi == 0 else 1, self.group_width, self.se_ratio,
+                x = XBlock(w, 2 if bi == 0 else 1, gw, self.se_ratio,
                            self.dtype, name=f"s{si + 1}_b{bi}")(x, train=train)
         x = jnp.mean(x, axis=(1, 2))
         if self.num_classes > 0:
@@ -102,6 +113,9 @@ for _name, _cfg in {
     "RegNetX_4GF": dict(w_a=38.65, w_0=96, w_m=2.43, depth=23, group_width=40),
     "RegNetY_400MF": dict(w_a=27.89, w_0=48, w_m=2.09, depth=16, group_width=8, se_ratio=0.25),
     "RegNetY_4GF": dict(w_a=31.41, w_0=96, w_m=2.24, depth=22, group_width=64, se_ratio=0.25),
+    # XCiT distillation teacher (reference configs/xcit/*_dist.yaml:
+    # RegNet w_a 106.23, w_0 200, w_m 2.48, d 18, group_w 112, se_on)
+    "RegNetY_160": dict(w_a=106.23, w_0=200, w_m=2.48, depth=18, group_width=112, se_ratio=0.25),
 }.items():
     def _make(cfg=_cfg):
         def factory(**kw):

@@ -312,6 +312,12 @@ _SWIN = {
     "swin_base_patch4_window12_384": dict(img_size=384, window_size=12, embed_dim=128,
                                           depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
     "swin_large_patch4_window7_224": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+    # reference huge/giant recipes (configs/swin_transformer/
+    # SwinTransformer_{huge,giant}_patch4_window7_224.yaml; the
+    # reference marks them "version: 2" but ships no SwinV2 blocks —
+    # these use the same windowed attention at the published dims)
+    "swin_huge_patch4_window7_224": dict(embed_dim=354, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+    "swin_giant_patch4_window7_224": dict(embed_dim=512, depths=(2, 2, 42, 2), num_heads=(8, 16, 32, 64)),
 }
 
 for _name, _cfg in _SWIN.items():

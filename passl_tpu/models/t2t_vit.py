@@ -56,6 +56,46 @@ class TokenAttention(nn.Module):
         return out + y
 
 
+class TokenPerformer(nn.Module):
+    """Linear-attention T2T stage (reference Token_performer,
+    passl_v110 t2t_vit.py): softmax kernel approximated with the
+    positive random-feature map exp(w^T x - |x|^2/2)/sqrt(m); the
+    projection w is a FIXED random orthogonal matrix (non-trainable in
+    the reference too) so it is built as a deterministic constant."""
+
+    dim: int
+    kernel_ratio: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        n, l, _ = x.shape
+        m = int(self.dim * self.kernel_ratio)
+        kqv = nn.Dense(3 * self.dim, dtype=self.dtype, name="kqv")(x).reshape(n, l, 3, self.dim)
+        k, q, v = kqv[:, :, 0], kqv[:, :, 1], kqv[:, :, 2]
+        # fixed orthogonal random features (QR of a seeded gaussian)
+        rs = np.random.RandomState(0)
+        w_np, _ = np.linalg.qr(rs.randn(self.dim, m))
+        w = jnp.asarray(w_np.T * m ** 0.5, jnp.float32)  # [m, dim], rows orthonormal*sqrt(m)
+
+        def prm_exp(t):
+            t32 = t.astype(jnp.float32)
+            xd = jnp.sum(t32 * t32, axis=-1, keepdims=True) / 2.0
+            wtx = jnp.einsum("nld,md->nlm", t32, w / m ** 0.5)
+            return jnp.exp(wtx - xd) / m ** 0.5
+
+        kp, qp = prm_exp(k), prm_exp(q)                     # [n, l, m]
+        denom = jnp.einsum("nlm,nm->nl", qp, kp.sum(axis=1))[..., None]
+        kptv = jnp.einsum("nld,nlm->nmd", v.astype(jnp.float32), kp)
+        y = jnp.einsum("nlm,nmd->nld", qp, kptv) / (denom + 1e-8)
+        y = v + nn.Dense(self.dim, dtype=self.dtype, name="proj")(y.astype(self.dtype))
+        z = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(y)
+        z = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc1")(z)
+        z = nn.gelu(z)
+        z = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(z)
+        return y + z
+
+
 @register_model
 class T2TViT(Model):
     img_size: int = 224
@@ -66,20 +106,27 @@ class T2TViT(Model):
     mlp_ratio: float = 3.0
     drop_path_rate: float = 0.0
     num_classes: int = 1000
+    # reference default t2t_vit_* uses performer (linear-attention) T2T
+    # stages; t2t_vit_t_* uses full transformer token attention
+    tokens_type: str = "performer"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         n = x.shape[0]
+        if self.tokens_type == "performer":
+            tok = lambda name: TokenPerformer(self.token_dim, dtype=self.dtype, name=name)
+        else:
+            tok = lambda name: TokenAttention(self.token_dim, dtype=self.dtype, name=name)
         # T2T stage 0: 7x7/4 soft split
         t, h, w = soft_split(x, 7, 4, 2)
         t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="t2t_norm0")(t)
-        t = TokenAttention(self.token_dim, dtype=self.dtype, name="t2t_attn1")(t, not train)
+        t = tok("t2t_attn1")(t, not train)
         # restructure + 3x3/2 split
         t = t.reshape(n, h, w, self.token_dim)
         t, h, w = soft_split(t, 3, 2, 1)
         t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="t2t_norm1")(t)
-        t = TokenAttention(self.token_dim, dtype=self.dtype, name="t2t_attn2")(t, not train)
+        t = tok("t2t_attn2")(t, not train)
         t = t.reshape(n, h, w, self.token_dim)
         t, h, w = soft_split(t, 3, 2, 1)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="t2t_project")(t)
@@ -294,9 +341,14 @@ class LVViTTokenLabel(Model):
 
 
 for _name, _cfg in {
+    # t2t_vit_* = performer T2T stages, t2t_vit_t_* = transformer T2T
+    # stages (reference configs/t2t_vit/t2t_vit{,_t}_{14,19,24}.yaml)
     "t2t_vit_14": dict(embed_dim=384, depth=14, num_heads=6),
     "t2t_vit_19": dict(embed_dim=448, depth=19, num_heads=7),
     "t2t_vit_24": dict(embed_dim=512, depth=24, num_heads=8),
+    "t2t_vit_t_14": dict(embed_dim=384, depth=14, num_heads=6, tokens_type="transformer"),
+    "t2t_vit_t_19": dict(embed_dim=448, depth=19, num_heads=7, tokens_type="transformer"),
+    "t2t_vit_t_24": dict(embed_dim=512, depth=24, num_heads=8, tokens_type="transformer"),
     "lvvit_s": dict(embed_dim=384, depth=16, num_heads=6),
     "lvvit_m": dict(embed_dim=512, depth=20, num_heads=8),
 }.items():

@@ -154,6 +154,11 @@ _VARIANTS = {
     "ViT_large_patch16_384": dict(img_size=384, patch_size=16, embed_dim=1024, depth=24, num_heads=16),
     "ViT_large_patch32_384": dict(img_size=384, patch_size=32, embed_dim=1024, depth=24, num_heads=16),
     "ViT_huge_patch14_224": dict(patch_size=14, embed_dim=1280, depth=32, num_heads=16),
+    # ViT-g/14 (reference configs/vision_transformer/
+    # vit-g-p14-pt_in1k-224_1n8c.yaml: embed 1664, depth 48, heads 16,
+    # mlp_ratio 4.9231)
+    "ViT_g_patch14_224": dict(patch_size=14, embed_dim=1664, depth=48, num_heads=16,
+                              mlp_ratio=4.9231),
     # MoCo v3 nomenclature (tasks/ssl/mocov3): small has mlp_ratio 4, 12 heads
     "mocov3_vit_small": dict(patch_size=16, embed_dim=384, depth=12, num_heads=12),
     "mocov3_vit_base": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),

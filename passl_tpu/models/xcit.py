@@ -137,11 +137,23 @@ class XCiT(Model):
         return x
 
 
+# full reference size table (configs/xcit/*.yaml: 7 sizes x {p16, p8});
+# eta (LayerScale init) is 1.0 for 12-layer models and 1e-5 for 24-layer
+# ones, matching the reference yamls (nano/tiny/small eta: 1.0,
+# large eta: 1e-5)
+_XCIT_SIZES = {
+    "xcit_nano_12": dict(embed_dim=128, depth=12, num_heads=4, init_values=1.0),
+    "xcit_tiny_12": dict(embed_dim=192, depth=12, num_heads=4, init_values=1.0),
+    "xcit_tiny_24": dict(embed_dim=192, depth=24, num_heads=4, init_values=1e-5),
+    "xcit_small_12": dict(embed_dim=384, depth=12, num_heads=8, init_values=1.0),
+    "xcit_small_24": dict(embed_dim=384, depth=24, num_heads=8, init_values=1e-5),
+    "xcit_medium_24": dict(embed_dim=512, depth=24, num_heads=8, init_values=1e-5),
+    "xcit_large_24": dict(embed_dim=768, depth=24, num_heads=16, init_values=1e-5),
+}
+
 for _name, _cfg in {
-    "xcit_small_12_p16": dict(embed_dim=384, depth=12, num_heads=8),
-    "xcit_small_24_p16": dict(embed_dim=384, depth=24, num_heads=8),
-    "xcit_medium_24_p16": dict(embed_dim=512, depth=24, num_heads=8),
-    "xcit_large_24_p16": dict(embed_dim=768, depth=24, num_heads=16),
+    **{f"{s}_p16": dict(cfg, patch_size=16) for s, cfg in _XCIT_SIZES.items()},
+    **{f"{s}_p8": dict(cfg, patch_size=8) for s, cfg in _XCIT_SIZES.items()},
 }.items():
     def _make(cfg=_cfg):
         def factory(**kw):

@@ -107,6 +107,18 @@ for _name, _cfg in {
     "dinov2_tiny_lp": "configs/dinov2/dinov2_tiny_lp_synthetic.yaml",
     "simsiam_r18": "configs/simsiam/simsiam_r18_synthetic.yaml",
     "lvvit_tiny_tl": "configs/lvvit/lvvit_tiny_token_label_synthetic.yaml",
+    # round-3 family coverage (reference configs/xcit, cvt, t2t_vit,
+    # mlp_mixer, moco_byol, densecl, pixpro, moco-v1 + RegNet teacher)
+    "xcit_tiny_cls": "configs/xcit/xcit_tiny_synthetic.yaml",
+    "cvt_tiny_cls": "configs/cvt/cvt_tiny_synthetic.yaml",
+    "t2t_tiny_cls": "configs/t2t_vit/t2t_tiny_synthetic.yaml",
+    "mixer_tiny_cls": "configs/mlp_mixer/mixer_tiny_synthetic.yaml",
+    "regnet_tiny_cls": "configs/classification/regnet_tiny_synthetic.yaml",
+    "moco_byol_r18": "configs/moco_byol/moco_byol_r18_synthetic.yaml",
+    "densecl_r18": "configs/densecl/densecl_r18_synthetic.yaml",
+    "fastmoco_r18": "configs/moco/fastmoco_r18_synthetic.yaml",
+    "mocov1_r18": "configs/moco/mocov1_r18_synthetic.yaml",
+    "pixpro_r18": "configs/pixpro/pixpro_r18_synthetic.yaml",
 }.items():
     CASES[_name] = {"config": _cfg, "overrides": list(_STD)}
 

@@ -24,15 +24,68 @@ case "$METHOD" in
           PROBE_CFG=tests/e2e/probe_convmae_structured.yaml ;;
   dinov2) CFG=tests/e2e/dinov2_structured.yaml; PREFIX=student/backbone
           PROBE_CFG=tests/e2e/probe_dinov2_structured.yaml; RENAME=encoder ;;
+  densecl) CFG=tests/e2e/densecl_structured.yaml; PREFIX=encoder_q/backbone ;;
+  mocobyol) CFG=tests/e2e/mocobyol_structured.yaml; PREFIX=online/backbone ;;
+  pixpro) CFG=tests/e2e/pixpro_structured.yaml; PREFIX=encoder/backbone ;;
+  fastmoco) CFG=tests/e2e/fastmoco_structured.yaml; PREFIX=online/backbone ;;
+  clip)   CFG=tests/e2e/clip_structured.yaml; PREFIX=__clip__ ;;
+  beit)   CFG=tests/e2e/beit_structured.yaml; PREFIX=encoder; RENAME=encoder
+          PROBE_CFG=tests/e2e/probe_beit_structured.yaml ;;
+  cae)    CFG=tests/e2e/cae_structured.yaml; PREFIX=__cae__
+          PROBE_CFG=tests/e2e/probe_cae_structured.yaml ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
 esac
 OUT=/tmp/passl_learning_$METHOD
 rm -rf "$OUT"
+mkdir -p "$OUT"
+
+if [ "$METHOD" = "beit" ] || [ "$METHOD" = "cae" ]; then
+  # stage 0: train the dVAE tokenizer the masked-token objective needs,
+  # then wrap its params under tokenizer/ for the pretrain config
+  python -m passl_tpu.tools.train -c tests/e2e/dvae_structured.yaml \
+    -o Global.output_dir="$OUT/dvae"
+  python - "$OUT" <<'PYEOF'
+import sys
+from flax import serialization, traverse_util
+from passl_tpu.utils import io
+
+out = sys.argv[1]
+state = serialization.msgpack_restore(open(f"{out}/dvae/latest.ckpt", "rb").read())
+flat = traverse_util.flatten_dict(state["params"], sep="/")
+keep = {f"tokenizer/{k}": v for k, v in flat.items()}
+io.save_params(traverse_util.unflatten_dict(keep, sep="/"), f"{out}/tokenizer.params")
+print(f"dVAE tokenizer extract: {len(keep)} tensors")
+PYEOF
+fi
 
 python -m passl_tpu.tools.train -c "$CFG" \
   -o Global.output_dir="$OUT/pretrain"
 
-if [ "$PREFIX" = "__convmae__" ]; then
+if [ "$PREFIX" = "__clip__" ]; then
+  # CLIP is validated by held-out text->image retrieval, not a linear
+  # probe (its objective IS cross-modal alignment)
+  python tests/e2e/clip_retrieval_check.py "$CFG" "$OUT/pretrain/latest.ckpt"
+  exit $?
+fi
+
+if [ "$PREFIX" = "__cae__" ]; then
+  # CAE encoder is a plain ViT whose weights live at the checkpoint top
+  # level under the same names CAEFinetune uses (patch_embed/blocks_/
+  # norm) — a name-filtered copy with no rename is the whole extract
+  python - "$OUT" <<'PYEOF'
+import sys
+from flax import serialization, traverse_util
+from passl_tpu.utils import io
+
+out = sys.argv[1]
+state = serialization.msgpack_restore(open(f"{out}/pretrain/latest.ckpt", "rb").read())
+flat = traverse_util.flatten_dict(state["params"], sep="/")
+keep = {k: v for k, v in flat.items()
+        if k.startswith(("patch_embed/", "blocks_", "norm/"))}
+io.save_params(traverse_util.unflatten_dict(keep, sep="/"), f"{out}/backbone.params")
+print(f"CAE extract: {len(keep)} tensors")
+PYEOF
+elif [ "$PREFIX" = "__convmae__" ]; then
   # ConvMAE encoder weights (conv stages + transformer stage) live at
   # the checkpoint top level; pos embeds are fixed sincos in BOTH
   # pretrain and ConvViT, so a name-filtered copy is enough
