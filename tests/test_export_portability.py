@@ -1,0 +1,68 @@
+"""StableHLO serving-artifact portability (L11 honesty check).
+
+The exported `.stablehlo` + `.params` pair must be loadable in a FRESH
+python process that never imports `passl_tpu` — only jax + flax
+serialization — and run on plain CPU. This is the TPU-world analogue of
+the reference's "paddle-inference/ONNXRuntime loads the saved model"
+guarantee (`deploy/utils/predictor.py:35-70`): the artifact stands
+alone, the framework is not needed at serving time.
+"""
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+CONSUMER = textwrap.dedent("""
+    # Fresh-process consumer: NO passl_tpu import allowed.
+    import sys
+    assert all("passl_tpu" not in m for m in sys.modules), "clean process"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from flax import serialization
+    from jax import export as jexport
+
+    art_dir = sys.argv[1]
+    with open(f"{art_dir}/inference.stablehlo", "rb") as f:
+        exp = jexport.deserialize(f.read())
+    params = serialization.msgpack_restore(open(f"{art_dir}/inference.params", "rb").read())
+    x = np.random.RandomState(0).rand(3, 32, 32, 3).astype("float32")
+    out = exp.call(params, x)
+    out = np.asarray(out)
+    assert out.shape == (3, 10), out.shape
+    assert np.isfinite(out).all()
+    assert "passl_tpu" not in "".join(sys.modules), "still clean"
+    print("PORTABLE_OK", out.shape)
+""")
+
+
+def test_stablehlo_artifact_runs_without_framework(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from passl_tpu.models import build_model
+    from passl_tpu.utils import io
+
+    model = build_model({"name": "VisionTransformer", "img_size": 32,
+                         "patch_size": 8, "embed_dim": 64, "depth": 2,
+                         "num_heads": 4, "num_classes": 10})
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        {"params": jax.random.PRNGKey(0)}, x)
+    io.export(model, variables, x, str(tmp_path))
+
+    consumer = tmp_path / "consumer.py"
+    consumer.write_text(CONSUMER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run([sys.executable, str(consumer), str(tmp_path)],
+                         capture_output=True, text=True, timeout=300, env=env,
+                         cwd=str(tmp_path))  # cwd outside the repo: no accidental import
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PORTABLE_OK" in res.stdout
