@@ -17,7 +17,19 @@ import numpy as np
 
 from ..nn import init as tinit
 from ..nn.layers import DropPath, Mlp, PatchEmbed
+from ..ops.attention import _tpu_backend
+from ..ops.pallas.talking_heads import talking_heads_softmax
 from .base import MODELS, Model, register_model
+
+
+def resolve_th_impl(impl: str) -> str:
+    """`fused` = Pallas single-pass mix/softmax/mix (TPU only);
+    `einsum` = three XLA ops; `auto` = fused on TPU, einsum elsewhere."""
+    if impl not in ("einsum", "fused", "auto"):
+        raise ValueError(f"unknown th_impl {impl!r}")
+    if impl == "auto":
+        return "fused" if _tpu_backend() else "einsum"
+    return impl
 
 
 class TalkingHeadAttention(nn.Module):
@@ -26,6 +38,7 @@ class TalkingHeadAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32  # score/head-mix/softmax precision
+    th_impl: str = "auto"  # fused pallas vs 3-op XLA chain (see resolve_th_impl)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -37,13 +50,16 @@ class TalkingHeadAttention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="qkv")(x)
         qkv = qkv.reshape(n, l, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        proj_l = self.param("proj_l", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32)
+        proj_w = self.param("proj_w", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32)
         attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=acc)
-        # talking heads: mix across heads pre-softmax
-        attn = jnp.einsum("nhqk,hg->ngqk", attn,
-                          self.param("proj_l", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32).astype(acc))
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = jnp.einsum("nhqk,hg->ngqk", attn,
-                          self.param("proj_w", tinit.trunc_normal_(std=0.02), (h, h), jnp.float32).astype(acc))
+        if resolve_th_impl(self.th_impl) == "fused":
+            attn = talking_heads_softmax(attn, proj_l, proj_w)
+        else:
+            # talking heads: mix across heads pre-softmax
+            attn = jnp.einsum("nhqk,hg->ngqk", attn, proj_l.astype(acc))
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = jnp.einsum("nhqk,hg->ngqk", attn, proj_w.astype(acc))
         attn = nn.Dropout(self.attn_drop)(attn.astype(self.dtype), deterministic=deterministic)
         out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="proj")(out)
@@ -78,6 +94,7 @@ class CaiTSABlock(nn.Module):
     drop_path: float = 0.0
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    th_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -86,7 +103,8 @@ class CaiTSABlock(nn.Module):
         g2 = self.param("gamma_2", tinit.constant_(self.init_values), (c,), jnp.float32)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = TalkingHeadAttention(self.num_heads, dtype=self.dtype,
-                                 softmax_dtype=self.softmax_dtype, name="attn")(y, deterministic)
+                                 softmax_dtype=self.softmax_dtype,
+                                 th_impl=self.th_impl, name="attn")(y, deterministic)
         x = x + DropPath(self.drop_path, name="dp1")(y * g1, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(hidden_features=int(c * self.mlp_ratio), dtype=self.dtype, name="mlp")(y, deterministic)
@@ -126,6 +144,7 @@ class CaiT(Model):
     drop_path_rate: float = 0.0
     num_classes: int = 1000
     softmax_dtype: Any = "float32"  # attention-score precision
+    th_impl: str = "auto"  # talking-heads impl: fused pallas | einsum | auto
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -142,7 +161,7 @@ class CaiT(Model):
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         for i in range(self.depth):
             x = CaiTSABlock(self.num_heads, self.mlp_ratio, self.init_values, float(dpr[i]),
-                            self.dtype, self.softmax_dtype,
+                            self.dtype, self.softmax_dtype, self.th_impl,
                             name=f"blocks_{i}")(x, deterministic=not train)
         cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
         for i in range(self.depth_token_only):
