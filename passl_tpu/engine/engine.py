@@ -83,11 +83,36 @@ def _maybe_init_multihost():
         logger.warning(f"jax.distributed.initialize skipped: {e}")
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags. XLA:CPU AOT blobs
+    embed the compile machine's ISA features and can SIGILL when loaded
+    on a different host (observed after a container migration: the
+    loader warns 'doesn't match the machine type for execution' then
+    crashes in thunk Execute); keying the CPU cache dir on the flags
+    makes migration self-invalidating."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "unknown"
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: first-compile of a train step
-    can take minutes on TPU; cached recompiles are seconds."""
+    can take minutes on TPU; cached recompiles are seconds. CPU-platform
+    runs get a host-fingerprinted dir (see _host_cpu_fingerprint)."""
     try:
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache_dir is None:
+            if jax.default_backend() == "cpu":
+                cache_dir = f"/tmp/jax_comp_cache_cpu_{_host_cpu_fingerprint()}"
+            else:
+                cache_dir = "/tmp/jax_comp_cache"
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:

@@ -24,9 +24,9 @@ Dtype = Any
 
 
 def _make_norm(bn_splits: int, dtype, name: str, use_running_average: bool, momentum: float = 0.9,
-               bn_stats_stride: int = 1):
-    if bn_splits > 1 and bn_stats_stride > 1:
-        raise ValueError("bn_splits and bn_stats_stride are mutually exclusive "
+               bn_stats_stride: int = 1, bn_stats_slice: int = 1):
+    if bn_splits > 1 and (bn_stats_stride > 1 or bn_stats_slice > 1):
+        raise ValueError("bn_splits and bn_stats_stride/slice are mutually exclusive "
                          "(SplitBatchNorm already computes per-split stats)")
     if bn_splits > 1:
         return SplitBatchNorm(
@@ -37,9 +37,10 @@ def _make_norm(bn_splits: int, dtype, name: str, use_running_average: bool, mome
             dtype=dtype,
             name=name,
         )
-    if bn_stats_stride > 1:
+    if bn_stats_stride > 1 or bn_stats_slice > 1:
         return SubsampledBatchNorm(
             stats_stride=bn_stats_stride,
+            stats_slice=bn_stats_slice,
             use_running_average=use_running_average,
             momentum=momentum,
             epsilon=1e-5,
@@ -61,6 +62,7 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     bn_splits: int = 0
     bn_stats_stride: int = 1
+    bn_stats_slice: int = 1
     dtype: Dtype = jnp.float32
 
     expansion = 1
@@ -71,13 +73,13 @@ class BasicBlock(nn.Module):
             nn.Conv, use_bias=False, dtype=self.dtype,
             kernel_init=tinit.kaiming_normal_(mode="fan_out", nonlinearity="relu"),
         )
-        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train, bn_stats_stride=self.bn_stats_stride)
+        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train, bn_stats_stride=self.bn_stats_stride, bn_stats_slice=self.bn_stats_slice)
         identity = x
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides), padding=1, name="conv1")(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = conv(self.filters, (3, 3), padding=1, name="conv2")(y)
-        y = _make_norm(self.bn_splits, self.dtype, "bn2", not train, bn_stats_stride=self.bn_stats_stride)(y)
+        y = _make_norm(self.bn_splits, self.dtype, "bn2", not train, bn_stats_stride=self.bn_stats_stride, bn_stats_slice=self.bn_stats_slice)(y)
         if self.downsample:
             identity = conv(self.filters, (1, 1), strides=(self.strides, self.strides), name="downsample_conv")(x)
             identity = norm(name="downsample_bn")(identity)
@@ -92,6 +94,7 @@ class BottleneckBlock(nn.Module):
     base_width: int = 64
     bn_splits: int = 0
     bn_stats_stride: int = 1
+    bn_stats_slice: int = 1
     dtype: Dtype = jnp.float32
 
     expansion = 4
@@ -103,7 +106,7 @@ class BottleneckBlock(nn.Module):
             nn.Conv, use_bias=False, dtype=self.dtype,
             kernel_init=tinit.kaiming_normal_(mode="fan_out", nonlinearity="relu"),
         )
-        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train, bn_stats_stride=self.bn_stats_stride)
+        norm = functools.partial(_make_norm, self.bn_splits, self.dtype, use_running_average=not train, bn_stats_stride=self.bn_stats_stride, bn_stats_slice=self.bn_stats_slice)
         identity = x
         y = conv(width, (1, 1), name="conv1")(x)
         y = nn.relu(norm(name="bn1")(y))
@@ -134,6 +137,7 @@ class ResNet(Model):
     width_per_group: int = 64
     bn_splits: int = 0
     bn_stats_stride: int = 1  # >1: subsampled BN stats (experimental; see nn.norm)
+    bn_stats_slice: int = 1  # >1: prefix-slice BN stats (experimental; see nn.norm)
     with_pool: bool = True
     cifar_stem: bool = False
     dtype: Any = jnp.float32
@@ -150,7 +154,7 @@ class ResNet(Model):
             x = conv(64, (3, 3), padding=1, name="conv1")(x)
         else:
             x = conv(64, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
-        x = _make_norm(self.bn_splits, self.dtype, "bn1", not train, bn_stats_stride=self.bn_stats_stride)(x)
+        x = _make_norm(self.bn_splits, self.dtype, "bn1", not train, bn_stats_stride=self.bn_stats_stride, bn_stats_slice=self.bn_stats_slice)(x)
         x = nn.relu(x)
         if not self.cifar_stem:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -167,6 +171,7 @@ class ResNet(Model):
                     downsample=(strides != 1 or in_ch != out_ch),
                     bn_splits=self.bn_splits,
                     bn_stats_stride=self.bn_stats_stride,
+                    bn_stats_slice=self.bn_stats_slice,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
                 )

@@ -86,25 +86,28 @@ class SplitBatchNorm(nn.Module):
 
 
 class SubsampledBatchNorm(nn.Module):
-    """BatchNorm whose train-mode statistics come from every
-    `stats_stride`-th sample of the batch (EXPERIMENTAL throughput knob).
+    """BatchNorm whose train-mode statistics come from a subsample of
+    the batch (EXPERIMENTAL throughput knob): every `stats_stride`-th
+    sample, or — `stats_slice` — the first n/stats_slice samples.
 
     Rationale: the stats reduction is the HBM-bound half of BN on TPU
     (~16% of an R50 train step, docs/benchmarks.md); reading 1/stride of
     the batch for stats cuts that read proportionally, and with shuffled
-    batches the subsample is an unbiased (noisier) estimator.
+    batches the subsample is an unbiased (noisier) estimator. Since the
+    loader shuffles, a contiguous prefix is exactly as unbiased as a
+    stride — but its slice VJP is a dense `pad` XLA can fuse, where the
+    strided slice's VJP is the scatter that sank the first attempt:
 
     Measured result (v5e, SimCLR R50 bs128): stride 4 runs **0.6x** the
     exact-BN step — the forward saving is swamped by the backward, where
     exact gradients through the subsampled stats scatter into the full
     activation shape (stride-slice transpose = scatter). stride 1 through
-    this class matches flax BatchNorm speed bit for bit. Kept as an
-    experimental knob + a documented negative result; making it pay
-    would require stop_gradient'ed stats, which changes training math.
-    Default stride 1 == exact BatchNorm.
+    this class matches flax BatchNorm speed bit for bit.
+    Defaults (1, 1) == exact BatchNorm.
     """
 
     stats_stride: int = 1
+    stats_slice: int = 1  # stats over x[: n // stats_slice] (prefix)
     use_running_average: Optional[bool] = None
     momentum: float = 0.9
     epsilon: float = 1e-5
@@ -112,6 +115,8 @@ class SubsampledBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
+        if self.stats_stride > 1 and self.stats_slice > 1:
+            raise ValueError("stats_stride and stats_slice are mutually exclusive")
         use_ra = nn.merge_param("use_running_average", self.use_running_average, use_running_average)
         features = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32))
@@ -121,8 +126,11 @@ class SubsampledBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            stride = max(1, self.stats_stride) if x.shape[0] >= 2 * self.stats_stride else 1
-            sub = x[::stride]
+            if self.stats_slice > 1 and x.shape[0] >= 2 * self.stats_slice:
+                sub = x[: x.shape[0] // self.stats_slice]
+            else:
+                stride = max(1, self.stats_stride) if x.shape[0] >= 2 * self.stats_stride else 1
+                sub = x[::stride]
             red = tuple(range(sub.ndim - 1))
             count = 1
             for a in red:

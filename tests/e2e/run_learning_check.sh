@@ -64,7 +64,8 @@ python -m passl_tpu.tools.train -c "$CFG" \
 if [ "$PREFIX" = "__clip__" ]; then
   # CLIP is validated by held-out text->image retrieval, not a linear
   # probe (its objective IS cross-modal alignment)
-  python tests/e2e/clip_retrieval_check.py "$CFG" "$OUT/pretrain/latest.ckpt"
+  PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
+    python tests/e2e/clip_retrieval_check.py "$CFG" "$OUT/pretrain/latest.ckpt"
   exit $?
 fi
 

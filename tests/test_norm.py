@@ -39,6 +39,48 @@ def test_stride4_uses_subsample_stats():
     np.testing.assert_allclose(np.asarray(stats["mean"]), 0.1 * mean, rtol=1e-4, atol=1e-5)
 
 
+def test_slice2_uses_prefix_stats():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(32, 2, 2, 3), jnp.float32)
+    y, stats, _ = _run(SubsampledBatchNorm(stats_slice=2), x)
+    sub = np.asarray(x)[:16]
+    mean = sub.mean(axis=(0, 1, 2))
+    var = (sub ** 2).mean(axis=(0, 1, 2)) - mean ** 2
+    expect = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats["mean"]), 0.1 * mean, rtol=1e-4, atol=1e-5)
+
+
+def test_slice_tiny_batch_falls_back_to_full_stats():
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 2, 2, 3), jnp.float32)
+    y, _, _ = _run(SubsampledBatchNorm(stats_slice=8), x)
+    # falls back to stride-1 full stats: per-feature normalization exact
+    full = np.asarray(x)
+    mean = full.mean(axis=(0, 1, 2))
+    var = (full ** 2).mean(axis=(0, 1, 2)) - mean ** 2
+    np.testing.assert_allclose(np.asarray(y), (full - mean) / np.sqrt(var + 1e-5),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stride_and_slice_mutually_exclusive():
+    import pytest
+
+    x = jnp.zeros((16, 2, 2, 3), jnp.float32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _run(SubsampledBatchNorm(stats_stride=2, stats_slice=2), x)
+
+
+def test_resnet_accepts_bn_stats_slice():
+    from passl_tpu.models import build_model
+
+    model = build_model({"name": "resnet18", "num_classes": 4, "cifar_stem": True,
+                         "bn_stats_slice": 2})
+    x = jnp.zeros((8, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    y, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (8, 4)
+
+
 def test_eval_mode_uses_running_stats():
     x = jnp.ones((8, 2, 2, 3), jnp.float32) * 5.0
     m = SubsampledBatchNorm(stats_stride=2)
