@@ -9,7 +9,7 @@ is also trainable standalone.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -40,6 +40,17 @@ class DiscreteVAE(Model):
     num_resblocks: int = 2
     downsamples: int = 3  # /8 token grid
     kl_weight: float = 0.0  # annealed externally when training the dVAE
+    # Straight-through gumbel: decoder sees the HARD one-hot code (grad
+    # flows through the soft sample). Without this, a fixed temperature
+    # and kl_weight 0 let the decoder read the soft mixture of codebook
+    # directions and the logits collapse onto a single code (observed:
+    # 1/512 codes used after standalone training on the e2e synthetic
+    # set, which made BEiT/CAE masked-token targets trivial). The
+    # reference DALL-E recipe avoids this with temperature+KL annealing
+    # (passl_v110 discrete_vae.py); straight-through is the
+    # schedule-free equivalent at this scale.
+    hard: bool = False
+    gumbel_temperature: float = 1.0  # default for __call__'s temperature arg
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -88,14 +99,19 @@ class DiscreteVAE(Model):
                 x = nn.relu(x)
         return self.to_pixels(x)
 
-    def __call__(self, batch, train: bool = True, temperature: float = 1.0):
+    def __call__(self, batch, train: bool = True, temperature: Optional[float] = None):
         """Standalone dVAE training: gumbel-softmax recon + KL-to-uniform."""
+        if temperature is None:
+            temperature = self.gumbel_temperature
         imgs = batch[0] if isinstance(batch, (tuple, list)) else batch
         logits = self.encode_logits(imgs)
         n, h, w, v = logits.shape
         if train:
             g = -jnp.log(-jnp.log(jax.random.uniform(self.make_rng("masking"), logits.shape) + 1e-9) + 1e-9)
             soft = jax.nn.softmax((logits + g) / temperature, axis=-1)
+            if self.hard:
+                hard1 = jax.nn.one_hot(jnp.argmax(soft, -1), v, dtype=soft.dtype)
+                soft = soft + jax.lax.stop_gradient(hard1 - soft)
         else:
             soft = jax.nn.one_hot(jnp.argmax(logits, -1), v, dtype=logits.dtype)
         z = jnp.einsum("nhwv,vc->nhwc", soft, self.codebook.embedding.astype(logits.dtype))

@@ -55,6 +55,24 @@ flat = traverse_util.flatten_dict(state["params"], sep="/")
 keep = {f"tokenizer/{k}": v for k, v in flat.items()}
 io.save_params(traverse_util.unflatten_dict(keep, sep="/"), f"{out}/tokenizer.params")
 print(f"dVAE tokenizer extract: {len(keep)} tensors")
+
+# collapse guard: a usable tokenizer must spread the synthetic set over
+# many codes (single-code collapse makes the BEiT/CAE token loss
+# trivial and the whole check vacuous)
+import numpy as np
+import jax.numpy as jnp
+from passl_tpu.models.discrete_vae import DiscreteVAE
+from passl_tpu.data.datasets import StructuredSyntheticDataset
+
+tok = DiscreteVAE(vocab_size=512, hidden_dim=128, num_resblocks=1)
+ds = StructuredSyntheticDataset(size=32, image_size=32, num_classes=10,
+                                noise=0.2, with_label=False)
+imgs = np.stack([np.asarray(ds[i], np.float32) for i in range(32)]) / 255.0
+ids = np.asarray(tok.apply({"params": traverse_util.unflatten_dict(flat, sep="/")},
+                           jnp.asarray(imgs), method=tok.tokenize))
+used = len(np.unique(ids))
+print(f"dVAE codebook usage on 32 images: {used}/512 codes")
+assert used >= 16, f"dVAE collapsed: only {used} codes in use"
 PYEOF
 fi
 

@@ -1,11 +1,12 @@
 #!/usr/bin/env bash
 # Full test tier, sharded across fresh interpreter processes.
 #
-# Running all ~190 tests in ONE pytest process accumulates hundreds of
-# XLA CPU executables and eventually aborts with a fatal runtime error
-# (observed at ~75% on an 8 GB host). Sharding by file keeps each
-# process bounded; shards run sequentially so the (single) TPU or CPU
-# mesh is never contended.
+# NOTE: `python -m pytest tests/ -q` in ONE process also works now
+# (294 passed / 37 min). The historical ~75% fatal abort was stale
+# XLA:CPU AOT cache blobs compiled on a different host machine
+# (engine._host_cpu_fingerprint fixed the cache keying) — not
+# executable buildup as first thought. This sharded runner is kept for
+# parallel-shard debugging and lower peak memory on small hosts.
 #
 # Usage: bash tests/run_full.sh [extra pytest args]
 set -u

@@ -135,3 +135,22 @@ def test_dvae_tokenize_and_train(mesh, rng):
     assert int(ids.max()) < 64
     out = model.apply(v, x, train=True, rngs={"masking": rng})
     assert np.isfinite(float(out["loss"]))
+
+
+def test_dvae_hard_gumbel_grad_flows(mesh, rng):
+    # straight-through path: loss finite AND gradient reaches the
+    # encoder logits (the ST estimator must not sever the graph)
+    model = build_model({"name": "DiscreteVAE", "vocab_size": 64, "hidden_dim": 32,
+                         "num_resblocks": 1, "hard": True})
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    v = jax.jit(functools.partial(model.init, train=True))(
+        {"params": rng, "masking": rng}, x)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x, train=True, rngs={"masking": rng})
+        return out["loss"]
+
+    g = jax.grad(loss_fn)(v["params"])
+    leaf = g["to_logits"]["kernel"]
+    assert np.isfinite(float(loss_fn(v["params"])))
+    assert float(jnp.abs(leaf).max()) > 0.0
