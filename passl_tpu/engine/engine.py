@@ -294,15 +294,36 @@ class Engine:
             # two-tower checkpoint (continuing pretraining) carries a
             # diverged momentum encoder that must not be clobbered
             if hasattr(self.model, "ema_map"):
+                from flax import traverse_util
+
                 loaded = load_report.get("loaded", set())
                 for src, dst, _ in self.model.ema_map():
-                    if any(k == dst or k.startswith(dst + "/") for k in loaded):
+                    flat_dst = traverse_util.flatten_dict(params[dst], sep="/")
+                    missing = [p for p in flat_dst
+                               if f"{dst}/{p}" not in loaded]
+                    if not missing:
                         logger.info(
-                            f"pretrained file covers EMA tower '{dst}' — "
+                            f"pretrained file fully covers EMA tower '{dst}' — "
                             f"keeping its loaded weights (no re-sync from '{src}')")
                         continue
                     params = dict(params)
-                    params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
+                    if len(missing) == len(flat_dst):
+                        params[dst] = jax.tree_util.tree_map(jnp.copy, params[src])
+                        continue
+                    # partial coverage: only the leaves the file did NOT
+                    # provide are re-synced from the online tower — a
+                    # blanket keep would leave fresh-random leaves in the
+                    # momentum target; a blanket re-sync would clobber the
+                    # diverged weights the file did carry
+                    logger.info(
+                        f"pretrained file covers {len(flat_dst) - len(missing)}/"
+                        f"{len(flat_dst)} leaves of EMA tower '{dst}' — "
+                        f"re-syncing the {len(missing)} uncovered from '{src}'")
+                    flat_src = traverse_util.flatten_dict(params[src], sep="/")
+                    for p in missing:
+                        if p in flat_src:
+                            flat_dst[p] = jnp.copy(flat_src[p])
+                    params[dst] = traverse_util.unflatten_dict(flat_dst, sep="/")
 
         # ---- EMA pairs (momentum encoders; init-sync happened above) +
         # full-model EMA

@@ -30,6 +30,23 @@ from ..utils.misc import SmoothedValue
 
 _MEM_STATS_OK: Optional[bool] = None  # None = unprobed; False = backend has none
 
+_REPLICATORS: Dict[Any, Any] = {}  # mesh -> jitted all-gather-to-replicated
+
+
+def _replicator(_=None):
+    """Cached jit of the identity-with-replicated-out-sharding used to
+    materialize global eval outputs on every process. A fresh
+    `jax.jit(lambda ...)` per batch would be a new function identity and
+    re-trace every call."""
+    from .. import distributed as dist
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = dist.get_mesh()
+    if mesh not in _REPLICATORS:
+        _REPLICATORS[mesh] = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    return _REPLICATORS[mesh]
+
 
 def _peak_mem_str() -> str:
     """' max_mem: X.XX GB' from the device allocator (reference logs
@@ -251,13 +268,7 @@ class ClassificationEvaluationLoop(_Loop):
         whole array single-process)."""
         if nproc == 1:
             return np.asarray(garr)
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from .. import distributed as dist
-
-        rep = jax.jit(lambda x: x,
-                      out_shardings=NamedSharding(dist.get_mesh(), P()))(garr)
+        rep = _replicator(None)(garr)
         return np.asarray(rep)[rank * bs:(rank + 1) * bs]
 
     def run(self) -> Optional[float]:
@@ -276,6 +287,16 @@ class ClassificationEvaluationLoop(_Loop):
         # classification_loop.py:213-218)
         nproc, rank = jax.process_count(), jax.process_index()
         local_total = max(0, -(-(n_total - rank) // nproc))
+        # Loop-termination counter must be IDENTICAL on every process:
+        # each iteration below runs cross-process collectives
+        # (metrics_step / eval_step on globally-sharded arrays), so a
+        # rank that breaks one iteration earlier than its peers (shares
+        # differ by 1 when nproc does not divide n_total) deadlocks the
+        # rest. Iterate to rank 0's share (the max) everywhere; ranks
+        # whose own share is exhausted still execute the step with an
+        # all-False valid mask.
+        max_local = -(-n_total // nproc)
+        stepped = 0       # samples worth of iterations driven (global counter)
         seen = 0          # local real samples consumed (loop accounting)
         global_seen = 0.0  # device-counted global valid samples (denominator)
         sums: Dict[str, float] = {}
@@ -288,9 +309,10 @@ class ClassificationEvaluationLoop(_Loop):
             images, labels = batch if not isinstance(batch, dict) else (batch["image"], batch["label"])
             images, labels = np.asarray(images), np.asarray(labels)
             bs = len(labels)
-            take = min(bs, local_total - seen)
-            if take <= 0:
+            if stepped >= max_local:
                 break
+            take = max(0, min(bs, local_total - seen))
+            stepped += bs
             if full_bs is None:
                 full_bs = bs
             if bs < full_bs:
@@ -326,16 +348,22 @@ class ClassificationEvaluationLoop(_Loop):
                 # processes after the loop)
                 gimages = e.shard_batch(images)
                 glogits = e.eval_step(e.state, gimages)
+                # the replicate in _host_rows is itself a collective —
+                # run it on every process even when this rank's share is
+                # exhausted (take == 0); only the host-side scoring is
+                # skipped then (metric fns may not accept empty arrays)
                 logits = self._host_rows(glogits, rank, len(images), nproc)[:take]
                 lab = labels[:take]
-                for metric in e.metric_fns:
-                    for k, v in metric(logits, lab).items():
-                        sums[k] = sums.get(k, 0.0) + float(v) * take
+                if take > 0:
+                    for metric in e.metric_fns:
+                        for k, v in metric(logits, lab).items():
+                            sums[k] = sums.get(k, 0.0) + float(v) * take
                 if eval_ema is not None:
                     ema_logits = self._host_rows(eval_ema(e.state, gimages), rank, len(images), nproc)[:take]
-                    for metric in e.metric_fns:
-                        for k, v in metric(ema_logits, lab).items():
-                            sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v) * take
+                    if take > 0:
+                        for metric in e.metric_fns:
+                            for k, v in metric(ema_logits, lab).items():
+                                sums[f"{k}_ema"] = sums.get(f"{k}_ema", 0.0) + float(v) * take
             seen += take
         if metrics_step is not None:
             denom = global_seen

@@ -58,10 +58,12 @@ class TokenAttention(nn.Module):
 
 class TokenPerformer(nn.Module):
     """Linear-attention T2T stage (reference Token_performer,
-    passl_v110 t2t_vit.py): softmax kernel approximated with the
-    positive random-feature map exp(w^T x - |x|^2/2)/sqrt(m); the
-    projection w is a FIXED random orthogonal matrix (non-trainable in
-    the reference too) so it is built as a deterministic constant."""
+    passl_v110 t2t_vit.py:232-295): softmax kernel approximated with
+    the positive random-feature map exp(w^T x - |x|^2/2)/sqrt(m). The
+    reference departs from the upstream T2T-ViT paper code here: `w` is
+    a TRAINABLE parameter initialized trunc_normal(std=0.02)
+    (t2t_vit.py:257-259), not a frozen orthogonal*sqrt(m) matrix — we
+    match the reference."""
 
     dim: int
     kernel_ratio: float = 0.5
@@ -73,15 +75,13 @@ class TokenPerformer(nn.Module):
         m = int(self.dim * self.kernel_ratio)
         kqv = nn.Dense(3 * self.dim, dtype=self.dtype, name="kqv")(x).reshape(n, l, 3, self.dim)
         k, q, v = kqv[:, :, 0], kqv[:, :, 1], kqv[:, :, 2]
-        # fixed orthogonal random features (QR of a seeded gaussian)
-        rs = np.random.RandomState(0)
-        w_np, _ = np.linalg.qr(rs.randn(self.dim, m))
-        w = jnp.asarray(w_np.T * m ** 0.5, jnp.float32)  # [m, dim], rows orthonormal*sqrt(m)
+        w = self.param("w", tinit.trunc_normal_(std=0.02), (m, self.dim),
+                       jnp.float32)
 
         def prm_exp(t):
             t32 = t.astype(jnp.float32)
             xd = jnp.sum(t32 * t32, axis=-1, keepdims=True) / 2.0
-            wtx = jnp.einsum("nld,md->nlm", t32, w / m ** 0.5)
+            wtx = jnp.einsum("nld,md->nlm", t32, w)
             return jnp.exp(wtx - xd) / m ** 0.5
 
         kp, qp = prm_exp(k), prm_exp(q)                     # [n, l, m]

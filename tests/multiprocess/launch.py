@@ -33,7 +33,14 @@ import sys
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 CFG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_tiny.yaml")
-BASE_PORT = 12650
+# Unique-per-invocation port block and work dir: the same script is
+# reachable from both pytest (tests/test_multiprocess.py) and
+# __graft_entry__.dryrun_multichip; a fixed port/path would cross-talk
+# if two invocations ever overlap on one host (coordinator bind clash,
+# rmtree of a live run's checkpoints). Overridable for debugging.
+BASE_PORT = int(os.environ.get("PASSL_MP_BASE_PORT", "0")) or \
+    12650 + (os.getpid() % 1889)
+WORK = os.environ.get("PASSL_MP_DIR") or f"/tmp/passl_mp.{os.getpid()}"
 
 
 def _env(nprocs: int, pid: int, ndev: int, port: int) -> dict:
@@ -50,13 +57,17 @@ def _env(nprocs: int, pid: int, ndev: int, port: int) -> dict:
             env.pop(k, None)
     # each process group must not share compiled-executable caches keyed
     # on topology in surprising ways; isolate to be safe
-    env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/passl_mp/jaxcache_{ndev}"
+    # compile cache: keyed by topology (ndev) but SHARED across
+    # invocations — jax's cache is content-addressed (temp-write +
+    # rename), so concurrent groups are safe, and a warm cache keeps
+    # the whole check well inside the dryrun timeout
+    env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/passl_mp_jaxcache_{ndev}"
     return env
 
 
 def run_group(tag: str, nprocs: int, ndev: int, port: int, overrides: list) -> dict:
     """Launch `nprocs` trainer processes; return parsed rank-0 results."""
-    outdir = f"/tmp/passl_mp/{tag}"
+    outdir = f"{WORK}/{tag}"
     shutil.rmtree(outdir, ignore_errors=True)
     cmd_base = [sys.executable, "-m", "passl_tpu.tools.train", "-c", CFG,
                 "-o", f"Global.output_dir={outdir}"]
@@ -64,7 +75,7 @@ def run_group(tag: str, nprocs: int, ndev: int, port: int, overrides: list) -> d
         cmd_base += ["-o", o]
     procs, logs = [], []
     for pid in range(nprocs):
-        log = open(f"/tmp/passl_mp/{tag}.p{pid}.log", "w")
+        log = open(f"{WORK}/{tag}.p{pid}.log", "w")
         logs.append(log.name)
         procs.append(subprocess.Popen(
             cmd_base, cwd=REPO, env=_env(nprocs, pid, ndev, port),
@@ -87,13 +98,13 @@ def run_group(tag: str, nprocs: int, ndev: int, port: int, overrides: list) -> d
 def run_eval_group(tag: str, nprocs: int, ndev: int, port: int, ckpt: str) -> dict:
     """Launch `nprocs` eval processes on a shared checkpoint; parse the
     [Eval] metric line (device-side global top-k with ragged-tail trim)."""
-    outdir = f"/tmp/passl_mp/{tag}"
+    outdir = f"{WORK}/{tag}"
     shutil.rmtree(outdir, ignore_errors=True)
     cmd = [sys.executable, "-m", "passl_tpu.tools.eval", "-c", CFG,
            "-o", f"Global.output_dir={outdir}", "-o", f"Global.checkpoint={ckpt}"]
     procs, logs = [], []
     for pid in range(nprocs):
-        log = open(f"/tmp/passl_mp/{tag}.p{pid}.log", "w")
+        log = open(f"{WORK}/{tag}.p{pid}.log", "w")
         logs.append(log.name)
         procs.append(subprocess.Popen(
             cmd, cwd=REPO, env=_env(nprocs, pid, ndev, port),
@@ -110,7 +121,7 @@ def run_eval_group(tag: str, nprocs: int, ndev: int, port: int, ckpt: str) -> di
 
 
 def main() -> int:
-    os.makedirs("/tmp/passl_mp", exist_ok=True)
+    os.makedirs(WORK, exist_ok=True)
     results = {}
 
     results["baseline_1p8d"] = run_group("base", 1, 8, BASE_PORT, [])
@@ -121,12 +132,12 @@ def main() -> int:
                                        ["Global.epochs=1"])
     results["mp_2p4d_resume"] = run_group(
         "mp2_res", 2, 4, BASE_PORT + 3,
-        ["Global.checkpoint=/tmp/passl_mp/mp2_ep1/latest"])
+        [f"Global.checkpoint={WORK}/mp2_ep1/latest"])
 
     # distributed eval on the 2-process-trained checkpoint: the global
     # device-side top-k (with ragged-tail trim: 96 samples over 40-batch)
     # must agree across process topologies
-    ckpt = "/tmp/passl_mp/mp2/latest"
+    ckpt = f"{WORK}/mp2/latest"
     results["eval_1p8d"] = run_eval_group("ev1", 1, 8, BASE_PORT + 4, ckpt)
     results["eval_2p4d"] = run_eval_group("ev2", 2, 4, BASE_PORT + 5, ckpt)
 
