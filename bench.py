@@ -13,11 +13,21 @@ tunneled test platform block_until_ready returns before execution
 completes, so only a fetch is a true barrier.
 
 Set PASSL_BENCH_FAST=1 to skip secondary benches (headline only).
+
+Robustness contract (mirrors the reference CI's always-produces-a-table
+property, tests/CI/case.sh:476-516): the shared tunneled chip can be
+transiently UNAVAILABLE, so backend init retries with backoff (JAX
+caches the first failure — each retry clears the backend cache), every
+row runs under its own try/except, progress goes to stderr, and the one
+stdout JSON line is emitted even on a bad day (partial results + per-row
+errors; SIGTERM mid-run also flushes whatever was measured).
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -25,6 +35,101 @@ import numpy as np
 SIMCLR_BASELINE_PER_CHIP = 1969.93 / 8  # A100 per-chip two-view R50 (SimSiam CI)
 VIT_BASELINE_PER_CHIP = 3583.0 / 8      # A100 per-chip ViT-B/16 224 pretrain
 PEAK_BF16 = float(os.environ.get("PASSL_PEAK_TFLOPS", "197")) * 1e12  # v5e bf16
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+
+def _probe_backend(timeout_s: float):
+    """Bounded backend probe in a SUBPROCESS.
+
+    An unavailable chip has two failure modes (both observed live):
+    jax.devices() raises UNAVAILABLE, or it HANGS indefinitely inside
+    the PJRT client with no Python-interruptible boundary.  Only a
+    subprocess with a kill timeout covers both.
+    """
+    import subprocess
+    import sys
+
+    code = "import jax; print(len(jax.devices()), jax.default_backend())"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+        out = (r.stdout or "").strip().splitlines()
+        if r.returncode == 0 and out:
+            return True, out[-1]
+        err = (r.stderr or "").strip().splitlines()
+        return False, (err[-1] if err else f"probe rc={r.returncode}")[:300]
+    except subprocess.TimeoutExpired:
+        return False, f"probe hung >{timeout_s:.0f}s (chip lease not granted)"
+
+
+def _ensure_backend(max_attempts: int | None = None):
+    """Initialize the JAX backend with bounded retry-with-backoff.
+
+    Chip contention on the shared tunneled TPU is usually transient.
+    Each attempt first probes in a killable subprocess (hangs cannot be
+    interrupted in-process); only after a probe succeeds do we
+    initialize in this process.  JAX caches a failed init, so retries
+    clear the backend cache first.
+    """
+    import jax
+
+    if max_attempts is None:
+        max_attempts = int(os.environ.get("PASSL_BENCH_INIT_ATTEMPTS", "6"))
+    delays = [0, 10, 20, 40, 90, 120][:max_attempts]
+    probe_t = float(os.environ.get("PASSL_BENCH_PROBE_TIMEOUT", "120"))
+    last = "no attempts"
+    for i, d in enumerate(delays):
+        if d:
+            time.sleep(d)
+        ok, info = _probe_backend(probe_t)
+        if not ok:
+            last = info
+            _log(f"backend probe {i + 1}/{len(delays)} failed: {info}")
+            continue
+        try:
+            try:  # drop any cached failure from a prior in-process attempt
+                import jax.extend.backend as jeb
+
+                jeb.clear_backends()
+            except Exception:
+                pass
+            devs = jax.devices()
+            _log(f"backend up ({jax.default_backend()} x{len(devs)})"
+                 + (f" after {i + 1} attempts" if i else ""))
+            return devs
+        except Exception as e:  # noqa: BLE001 — probe raced a contender
+            last = str(e).splitlines()[-1][:300]
+            _log(f"backend init attempt {i + 1}/{len(delays)} failed after "
+                 f"successful probe: {last}")
+    raise RuntimeError(
+        f"JAX backend unavailable after {len(delays)} attempts: {last}")
+
+
+def _start_watchdog(state, emitted, deadline_s: float) -> None:
+    """Emit whatever has been measured and exit 0 if the deadline hits.
+
+    Covers hangs anywhere (backend init, compile, value fetch): a
+    daemon thread keeps running while the main thread is blocked in an
+    uninterruptible PJRT call, where a signal handler would not."""
+    import threading
+
+    def w():
+        time.sleep(deadline_s)
+        if not emitted["done"]:
+            emitted["done"] = True
+            state["note"] = (f"watchdog deadline {deadline_s:.0f}s hit; "
+                             "partial results")
+            _log(state["note"])
+            _emit(state)
+            os._exit(0)
+
+    threading.Thread(target=w, daemon=True).start()
 
 
 def _compiled_flops(compiled) -> float:
@@ -442,74 +547,125 @@ def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_no
             "vs_baseline": round(per_chip / baseline_per_chip, 3)}
 
 
+def _emit(state) -> None:
+    """Print the ONE stdout JSON line from whatever has been measured."""
+    h = state["headline"]
+    extra = dict(state["extra"])
+    if h:
+        extra["simclr_r50_mfu"] = h["mfu"]
+    if state["errors"]:
+        extra["errors"] = state["errors"]
+    if state.get("note"):
+        extra["note"] = state["note"]
+    print(json.dumps({
+        "metric": "simclr_r50_pretrain_imgs_per_sec_per_chip",
+        "value": h["imgs_per_sec_per_chip"] if h else None,
+        "unit": ("imgs/s/chip (224px two-view, bf16, global bs %d, %d chips)"
+                 % (h["batch"], h["n_chips"]) if h
+                 else "imgs/s/chip (224px two-view, bf16)"),
+        "vs_baseline": h["vs_baseline"] if h else None,
+        "extra": extra,
+    }), flush=True)
+
+
 def main():
-    extra = {}
+    state = {"headline": None, "extra": {}, "errors": {}}
+    emitted = {"done": False}
+
+    def _flush_and_exit(signum, frame):  # partial results survive a kill
+        if not emitted["done"]:
+            emitted["done"] = True
+            state["note"] = f"terminated by signal {signum}; partial results"
+            _emit(state)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _flush_and_exit)
+    default_deadline = "14400" if os.environ.get("PASSL_BENCH_FULL") else "3000"
+    _start_watchdog(state, emitted,
+                    float(os.environ.get("PASSL_BENCH_DEADLINE", default_deadline)))
+
+    try:
+        _ensure_backend()
+    except Exception as e:  # noqa: BLE001
+        state["errors"]["backend_init"] = str(e)[-600:]
+        _emit(state)
+        return
+
+    def run(name, fn, *a, **k):
+        t = time.time()
+        _log(f"{name} ...")
+        try:
+            r = fn(*a, **k)
+            _log(f"{name} done in {time.time() - t:.0f}s: {r}")
+            return r
+        except Exception:  # noqa: BLE001 — one bad row must not kill the table
+            import traceback
+
+            state["errors"][name] = traceback.format_exc()[-700:]
+            _log(f"{name} FAILED after {time.time() - t:.0f}s (recorded)")
+            return None
+
+    def add(prefix, r):
+        if r:
+            state["extra"].update({f"{prefix}_{k}": v for k, v in r.items()})
+
+    # headline first: a mid-run kill still flushes it via the handler
+    state["headline"] = run("simclr_r50", bench_simclr_r50)
+    if not os.environ.get("PASSL_BENCH_FAST"):
+        add("vit_b16_224", run("vit_b16_224", bench_vit_b16))
     if os.environ.get("PASSL_BENCH_FULL"):
-        mae = bench_mae_b16()
-        extra.update({f"mae_b16_pt_{k}": v for k, v in mae.items()})
+        add("mae_b16_pt", run("mae_b16_pt", bench_mae_b16))
         # Swin-B (reference fp16o2 3006/8 = 375.8/chip, swin/README.md:60).
         # softmax_dtype bf16 matches the reference recipe's fp16 softmax
         # (its O2 config has no softmax blacklist); win_pack=2 packed
         # window attention is the model default.
-        swin = _bench_classifier({"name": "swin_base_patch4_window7_224",
-                                  "softmax_dtype": "bfloat16"},
-                                 128, 3006.0 / 8, grad_clip_norm=5.0)
-        extra.update({f"swin_b_{k}": v for k, v in swin.items()})
+        add("swin_b", run("swin_b", _bench_classifier,
+                          {"name": "swin_base_patch4_window7_224",
+                           "softmax_dtype": "bfloat16"},
+                          128, 3006.0 / 8, grad_clip_norm=5.0))
         # ConvNeXt-B (reference fp32 7800/32 = 243.8/chip, convnext/README.md:58)
-        cnx = _bench_classifier({"name": "convnext_base"}, 128, 7800.0 / 32)
-        extra.update({f"convnext_b_{k}": v for k, v in cnx.items()})
+        add("convnext_b", run("convnext_b", _bench_classifier,
+                              {"name": "convnext_base"}, 128, 7800.0 / 32))
         # DeiT-B (reference fp16o2 3169/8 = 396.1/chip, deit/README.md:58)
-        deit = _bench_classifier({"name": "DeiT_base_patch16_224",
-                                  "softmax_dtype": "bfloat16"}, 256, 3169.0 / 8)
-        extra.update({f"deit_b_{k}": v for k, v in deit.items()})
+        add("deit_b", run("deit_b", _bench_classifier,
+                          {"name": "DeiT_base_patch16_224",
+                           "softmax_dtype": "bfloat16"}, 256, 3169.0 / 8))
         # CaiT-s24 (reference fp16o2 2473/8 = 309.1/chip, cait/README.md:57)
-        cait = _bench_classifier({"name": "cait_s24_224", "softmax_dtype": "bfloat16"},
-                                 128, 2473.0 / 8)
-        extra.update({f"cait_s24_{k}": v for k, v in cait.items()})
+        add("cait_s24", run("cait_s24", _bench_classifier,
+                            {"name": "cait_s24_224", "softmax_dtype": "bfloat16"},
+                            128, 2473.0 / 8))
         # ViT-B/16 384 finetune step (reference 719 imgs/s on A100 N1C8 =
         # 89.9/chip, vit/README.md:76). Fits without remat at bs64.
-        vitb384 = _bench_classifier({"name": "ViT_base_patch16_384",
-                                     "softmax_dtype": "bfloat16"},
-                                    64, 719.0 / 8, image_size=384)
-        extra.update({f"vit_b16_384_{k}": v for k, v in vitb384.items()})
+        add("vit_b16_384", run("vit_b16_384", _bench_classifier,
+                               {"name": "ViT_base_patch16_384",
+                                "softmax_dtype": "bfloat16"},
+                               64, 719.0 / 8, image_size=384))
         # ViT-L/16 384 finetune step (reference 934 imgs/s on A100 N4C32 =
         # 29.2/chip, vit/README.md:78). Memory-bound on 16 GB: bs32 +
         # selective remat (save weight dots, recompute attention scores).
-        vitl = _bench_classifier({"name": "ViT_large_patch16_384",
-                                  "softmax_dtype": "bfloat16", "remat": True,
-                                  "remat_policy": "dots_no_batch"},
-                                 32, 934.0 / 32, image_size=384)
-        extra.update({f"vit_l16_384_{k}": v for k, v in vitl.items()})
+        add("vit_l16_384", run("vit_l16_384", _bench_classifier,
+                               {"name": "ViT_large_patch16_384",
+                                "softmax_dtype": "bfloat16", "remat": True,
+                                "remat_policy": "dots_no_batch"},
+                               32, 934.0 / 32, image_size=384))
         # SwAV R50 multi-crop pretrain (reference CI pt ips 963.3 on
         # 8xA100 = 120.4/chip, case.sh swav pt row)
-        sw = bench_swav_r50()
-        extra.update({f"swav_r50_pt_{k}": v for k, v in sw.items()})
+        add("swav_r50_pt", run("swav_r50_pt", bench_swav_r50))
         # CAE-B pretrain (reference 4936 imgs/s on N4C32 = 154.3/chip,
         # cae/README.md:173)
-        cae_pt = bench_cae_b16()
-        extra.update({f"cae_b16_pt_{k}": v for k, v in cae_pt.items()})
+        add("cae_b16_pt", run("cae_b16_pt", bench_cae_b16))
         # MoCo v3 ViT-B pretrain (reference CI ips 631.6 on 8xA100 =
         # 79.0/chip, case.sh mocov3 pt row)
-        m3 = bench_mocov3_b16()
-        extra.update({f"mocov3_b16_pt_{k}": v for k, v in m3.items()})
+        add("mocov3_b16_pt", run("mocov3_b16_pt", bench_mocov3_b16))
         # MAE finetune = global-pool ViT-B classification (reference
         # 3927 imgs/s on N4C32 = 122.7/chip, mae/README.md:255)
-        maeft = _bench_classifier({"name": "MAEVisionTransformer",
-                                   "softmax_dtype": "bfloat16"},
-                                  256, 3927.0 / 32)
-        extra.update({f"mae_ft_{k}": v for k, v in maeft.items()})
-    if not os.environ.get("PASSL_BENCH_FAST"):
-        vit = bench_vit_b16()
-        extra.update({f"vit_b16_224_{k}": v for k, v in vit.items()})
-    r = bench_simclr_r50()
-    print(json.dumps({
-        "metric": "simclr_r50_pretrain_imgs_per_sec_per_chip",
-        "value": r["imgs_per_sec_per_chip"],
-        "unit": "imgs/s/chip (224px two-view, bf16, global bs %d, %d chips)" % (
-            r["batch"], r["n_chips"]),
-        "vs_baseline": r["vs_baseline"],
-        "extra": {"simclr_r50_mfu": r["mfu"], **extra},
-    }))
+        add("mae_ft", run("mae_ft", _bench_classifier,
+                          {"name": "MAEVisionTransformer",
+                           "softmax_dtype": "bfloat16"},
+                          256, 3927.0 / 32))
+    emitted["done"] = True
+    _emit(state)
 
 
 if __name__ == "__main__":

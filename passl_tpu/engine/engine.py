@@ -49,8 +49,23 @@ def _maybe_force_platform():
     CPU tests launch workers with PASSL_PLATFORM=cpu to get the virtual
     device mesh regardless."""
     plat = os.environ.get("PASSL_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    if not plat:
+        return
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if _xb.backends_are_initialized():
+            # package-import-time override (passl_tpu.__init__) is the
+            # reliable path; by Engine.__init__ a prior Engine or caller
+            # may already have initialized a backend
+            if jax.default_backend() != plat:
+                logger.warning(
+                    f"PASSL_PLATFORM={plat} set but JAX backend already "
+                    f"initialized ({jax.default_backend()}); override inert")
+            return
+    except ImportError:
+        pass
+    jax.config.update("jax_platforms", plat)
 
 
 def _maybe_init_multihost():
@@ -320,6 +335,17 @@ class Engine:
                         f"{len(flat_dst)} leaves of EMA tower '{dst}' — "
                         f"re-syncing the {len(missing)} uncovered from '{src}'")
                     flat_src = traverse_util.flatten_dict(params[src], sep="/")
+                    orphans = [p for p in missing if p not in flat_src]
+                    if orphans:
+                        # a leaf in neither the pretrained file nor the
+                        # online tower means the towers' structures
+                        # disagree — surface it instead of silently
+                        # leaving fresh-random init
+                        logger.warning(
+                            f"EMA tower '{dst}': {len(orphans)} leaves are in "
+                            f"neither the pretrained file nor online tower "
+                            f"'{src}' and stay at fresh init: "
+                            f"{orphans[:5]}{'...' if len(orphans) > 5 else ''}")
                     for p in missing:
                         if p in flat_src:
                             flat_dst[p] = jnp.copy(flat_src[p])

@@ -300,6 +300,8 @@ class ClassificationEvaluationLoop(_Loop):
         seen = 0          # local real samples consumed (loop accounting)
         global_seen = 0.0  # device-counted global valid samples (denominator)
         sums: Dict[str, float] = {}
+        key_order = None      # rank-uniform metric key set (host-logits path)
+        layout_checked = False
         tic = time.perf_counter()
         eval_ema = getattr(e, "eval_step_ema", None)
         metrics_step = getattr(e, "eval_metrics_step", None)
@@ -347,12 +349,40 @@ class ClassificationEvaluationLoop(_Loop):
                 # process's row block (local sums reduced across
                 # processes after the loop)
                 gimages = e.shard_batch(images)
+                if nproc > 1 and not layout_checked:
+                    # _host_rows assumes the global batch is rank-major
+                    # (process p owns rows [p*bs, (p+1)*bs)). That holds
+                    # for build_mesh over process-major jax.devices();
+                    # verify it once with a tagged round-trip instead of
+                    # trusting the implicit layout.
+                    tag = np.full((len(images),), rank, np.int32)
+                    tag_rows = self._host_rows(e.shard_batch(tag), rank,
+                                               len(images), nproc)
+                    if not (tag_rows == rank).all():
+                        raise RuntimeError(
+                            "global eval batch is not laid out rank-major; "
+                            "_host_rows row-block slicing would mis-assign "
+                            "logits to processes")
+                    layout_checked = True
                 glogits = e.eval_step(e.state, gimages)
                 # the replicate in _host_rows is itself a collective —
                 # run it on every process even when this rank's share is
                 # exhausted (take == 0); only the host-side scoring is
                 # skipped then (metric fns may not accept empty arrays)
-                logits = self._host_rows(glogits, rank, len(images), nproc)[:take]
+                rows = self._host_rows(glogits, rank, len(images), nproc)
+                if key_order is None:
+                    # derive the metric key set RANK-UNIFORMLY by probing
+                    # one row (every rank has rows even when take == 0):
+                    # the post-loop allgather needs equal-length vectors
+                    # on all ranks, so keys must not come from the
+                    # locally-populated sums dict
+                    probe: Dict[str, float] = {}
+                    for metric in e.metric_fns:
+                        probe.update(metric(rows[:1], labels[:1]))
+                    key_order = sorted(probe)
+                    if eval_ema is not None:
+                        key_order += [f"{k}_ema" for k in sorted(probe)]
+                logits = rows[:take]
                 lab = labels[:take]
                 if take > 0:
                     for metric in e.metric_fns:
@@ -374,8 +404,12 @@ class ClassificationEvaluationLoop(_Loop):
             if nproc > 1:
                 from jax.experimental import multihost_utils
 
-                keys = sorted(sums)
-                vec = np.asarray([float(seen)] + [sums[k] for k in keys], np.float64)
+                # key_order is derived rank-uniformly above; a rank with
+                # an empty local sums dict still gathers the same-length
+                # vector as its peers
+                keys = key_order if key_order is not None else sorted(sums)
+                vec = np.asarray([float(seen)] + [sums.get(k, 0.0) for k in keys],
+                                 np.float64)
                 allv = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
                 seen, sums = int(allv[0]), {k: allv[1 + i] for i, k in enumerate(keys)}
             denom = seen

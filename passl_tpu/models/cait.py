@@ -29,6 +29,15 @@ def resolve_th_impl(impl: str) -> str:
         raise ValueError(f"unknown th_impl {impl!r}")
     if impl == "auto":
         return "fused" if _tpu_backend() else "einsum"
+    if impl == "fused" and not _tpu_backend():
+        # mirror resolve_attn_impl: an explicit request on the wrong
+        # backend downgrades loudly instead of dying deep in pallas_call
+        # with an opaque Mosaic error (trace-time only: once per compile)
+        import warnings
+
+        warnings.warn("th_impl=fused requires a TPU backend; falling back "
+                      "to einsum", stacklevel=2)
+        return "einsum"
     return impl
 
 

@@ -75,6 +75,9 @@ def test_q_tile_budget():
 def test_resolver_cpu_falls_back_to_einsum():
     assert resolve_th_impl("auto") == "einsum"  # CPU backend in tests
     assert resolve_th_impl("einsum") == "einsum"
-    assert resolve_th_impl("fused") == "fused"
+    # explicit fused on a non-TPU backend downgrades loudly instead of
+    # dying inside pallas_call with an opaque Mosaic error
+    with pytest.warns(UserWarning, match="falling back"):
+        assert resolve_th_impl("fused") == "einsum"
     with pytest.raises(ValueError):
         resolve_th_impl("nope")
