@@ -11,6 +11,7 @@ from .mesh import (  # noqa: F401
     data_parallel_size,
     data_sharding,
     get_mesh,
+    hybrid_device_grid,
     init_dist_env,
     local_batch_size,
     replicated,

@@ -120,10 +120,35 @@ def run_eval_group(tag: str, nprocs: int, ndev: int, port: int, ckpt: str) -> di
     return {"tag": tag, "top1": float(m.group(1)) if m else None}
 
 
+def run_mesh_check(tag: str, nprocs: int, ndev: int, port: int) -> dict:
+    """DCN-aware mesh locality on the live gloo topology (cheap: no
+    training, one collective)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "mesh_check.py")
+    procs, logs = [], []
+    for pid in range(nprocs):
+        log = open(f"{WORK}/{tag}.p{pid}.log", "w")
+        logs.append(log.name)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-u", script], cwd=REPO,
+            env=_env(nprocs, pid, ndev, port),
+            stdout=log, stderr=subprocess.STDOUT))
+    rcs = [p.wait(timeout=300) for p in procs]
+    if any(rcs):
+        for ln in logs:
+            sys.stderr.write(f"----- {ln} (tail) -----\n")
+            sys.stderr.write("".join(open(ln).readlines()[-30:]))
+        raise RuntimeError(f"{tag}: exit codes {rcs}")
+    verdict = json.loads(
+        [l for l in open(logs[0]) if l.startswith("{")][-1])
+    return verdict
+
+
 def main() -> int:
     os.makedirs(WORK, exist_ok=True)
     results = {}
 
+    results["mesh_locality_2p4d"] = run_mesh_check("meshchk", 2, 4, BASE_PORT + 6)
     results["baseline_1p8d"] = run_group("base", 1, 8, BASE_PORT, [])
     results["mp_2p4d"] = run_group("mp2", 2, 4, BASE_PORT + 1, [])
     # interrupted + resumed 2-process run (orbax save at epoch 1, fresh
@@ -146,6 +171,7 @@ def main() -> int:
     res = results["mp_2p4d_resume"]["final_loss"]
     ev1, ev2 = results["eval_1p8d"]["top1"], results["eval_2p4d"]["top1"]
     checks = {
+        "mesh_locality": results["mesh_locality_2p4d"]["ok"],
         "mp2_matches_baseline": abs(mp2 - base) <= 1e-4 * max(abs(base), 1.0),
         "mp2_wrote_orbax": results["mp_2p4d"]["orbax_ckpt"],
         "resume_restored": results["mp_2p4d_resume"]["resumed"],

@@ -130,3 +130,88 @@ def test_engine_level_fsdp_tp_sharding_applies():
     # moments share the param sharding
     m_shard = state.opt_state["blocks_0/attn/qkv/kernel"]["m"].sharding
     assert m_shard.spec == qkv.sharding.spec
+
+
+class _FakeDev:
+    """Mock device with the only attributes hybrid placement reads."""
+
+    def __init__(self, i, proc):
+        self.id = i
+        self.process_index = proc
+
+    def __repr__(self):
+        return f"d{self.id}@p{self.process_index}"
+
+
+def _fake_topology(nproc, per_proc):
+    return [_FakeDev(p * per_proc + i, p)
+            for p in range(nproc) for i in range(per_proc)]
+
+
+def test_hybrid_grid_keeps_model_axes_intra_process():
+    """DCN-aware placement (reference env.py:232-269,306-332 rank-grid
+    transpose): tp and fsdp groups must never straddle a process; dp
+    must be the axis that crosses processes."""
+    devs = _fake_topology(nproc=2, per_proc=4)
+    grid = dist.hybrid_device_grid(devs, dp=2, fsdp=2, tp=2)
+    assert grid.shape == (2, 2, 2)
+    # each (fsdp, tp) plane = one dp slice = one process
+    for d in range(2):
+        procs = {dev.process_index for dev in grid[d].ravel()}
+        assert len(procs) == 1, f"model axes straddle processes: {grid[d]}"
+    # dp axis spans both processes
+    assert {grid[0, 0, 0].process_index, grid[1, 0, 0].process_index} == {0, 1}
+    # every tp pair intra-process
+    for d in range(2):
+        for f in range(2):
+            pair = grid[d, f]
+            assert pair[0].process_index == pair[1].process_index
+
+
+def test_hybrid_grid_dp_inner_and_outer():
+    """4 procs x 4 devs, fsdp2*tp2=4/proc with dp4: dp splits into
+    4 inter-process blocks; rank-major batch layout preserved (dp block
+    d lives entirely on process d)."""
+    devs = _fake_topology(nproc=4, per_proc=4)
+    grid = dist.hybrid_device_grid(devs, dp=4, fsdp=2, tp=2)
+    for d in range(4):
+        assert {dev.process_index for dev in grid[d].ravel()} == {d}
+
+
+def test_hybrid_grid_dp_inner_gt_one_rank_major():
+    """2 procs x 8 devs, tp2 only: dp=8 -> dp_inner=4 per proc; the dp
+    index must be process-major (rows [0,4) on proc 0, [4,8) on proc 1)
+    so the loops.py _host_rows rank-major contract holds."""
+    devs = _fake_topology(nproc=2, per_proc=8)
+    grid = dist.hybrid_device_grid(devs, dp=8, fsdp=1, tp=2)
+    assert grid.shape == (8, 1, 2)
+    for d in range(8):
+        expect = 0 if d < 4 else 1
+        assert {dev.process_index for dev in grid[d].ravel()} == {expect}
+        assert grid[d, 0, 0].process_index == grid[d, 0, 1].process_index
+
+
+def test_hybrid_grid_untileable_falls_back_flat():
+    """tp=8 over 2x4 procs cannot stay intra-process: fall back to the
+    flat reshape (with a warning) instead of crashing."""
+    devs = _fake_topology(nproc=2, per_proc=4)
+    grid = dist.hybrid_device_grid(devs, dp=1, fsdp=1, tp=8)
+    assert grid.shape == (1, 1, 8)
+    assert [d.id for d in grid.ravel()] == list(range(8))
+
+
+def test_hybrid_grid_with_pp_axis():
+    """pp kept intra-process alongside fsdp/tp; dp crosses procs."""
+    devs = _fake_topology(nproc=2, per_proc=4)
+    grid = dist.hybrid_device_grid(devs, dp=2, fsdp=1, tp=2, pp=2)
+    assert grid.shape == (2, 2, 1, 2)
+    for d in range(2):
+        assert len({dev.process_index for dev in grid[d].ravel()}) == 1
+
+
+def test_single_process_grid_unchanged():
+    """nproc=1 keeps the plain device-order reshape (bit-identical
+    meshes to rounds 1-3; goldens depend on this)."""
+    devs = _fake_topology(nproc=1, per_proc=8)
+    grid = dist.hybrid_device_grid(devs, dp=2, fsdp=2, tp=2)
+    assert [d.id for d in grid.ravel()] == list(range(8))
