@@ -568,6 +568,17 @@ def _emit(state) -> None:
     }), flush=True)
 
 
+def _full_rows() -> bool:
+    """All 13 rows by default (measured 2026-08-18: full run = 1280 s
+    on a healthy chip, well inside the 3300 s watchdog; headline rows
+    run first so even an early kill flushes them). Opt out with
+    PASSL_BENCH_FAST=1 (headline only) or PASSL_BENCH_QUICK=1
+    (headline + vit)."""
+    if os.environ.get("PASSL_BENCH_FAST") or os.environ.get("PASSL_BENCH_QUICK"):
+        return False
+    return True
+
+
 def main():
     state = {"headline": None, "extra": {}, "errors": {}}
     emitted = {"done": False}
@@ -581,7 +592,7 @@ def main():
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, _flush_and_exit)
-    default_deadline = "14400" if os.environ.get("PASSL_BENCH_FULL") else "3000"
+    default_deadline = "3300" if _full_rows() else "1500"
     _start_watchdog(state, emitted,
                     float(os.environ.get("PASSL_BENCH_DEADLINE", default_deadline)))
 
@@ -614,7 +625,7 @@ def main():
     state["headline"] = run("simclr_r50", bench_simclr_r50)
     if not os.environ.get("PASSL_BENCH_FAST"):
         add("vit_b16_224", run("vit_b16_224", bench_vit_b16))
-    if os.environ.get("PASSL_BENCH_FULL"):
+    if _full_rows():
         add("mae_b16_pt", run("mae_b16_pt", bench_mae_b16))
         # Swin-B (reference fp16o2 3006/8 = 375.8/chip, swin/README.md:60).
         # softmax_dtype bf16 matches the reference recipe's fp16 softmax

@@ -523,5 +523,10 @@ class Engine:
         x = sample[0] if isinstance(sample, (tuple, list)) else sample
         x = jnp.asarray(np.asarray(x)[:1])
         variables = {"params": self.state.params, **self.state.model_state}
+        # Export.formats: ["stablehlo"] (default) and/or ["tf"] — the TF
+        # SavedModel is the second serving runtime (reference
+        # predictor.py:35-70 paddle-inference vs onnxruntime dispatch)
+        formats = tuple(self.config.get("Export", {}).get("formats", ("stablehlo",)))
         return io.export(self.model, variables, x, self.output_dir,
-                         name=self.config.get("Model", {}).get("name", "inference"))
+                         name=self.config.get("Model", {}).get("name", "inference"),
+                         formats=formats)

@@ -100,6 +100,29 @@ def _packed_attn_mask(h: int, w: int, ws: int, shift: int, g: int) -> Optional[n
     return packed
 
 
+def resolve_window_impl(impl: str, attn_drop: float = 0.0,
+                        deterministic: bool = True) -> str:
+    """Map `attn_impl` to the path used this call (CaiT th_impl contract:
+    explicit fused on the wrong backend/config downgrades loudly)."""
+    from ..ops.attention import _tpu_backend
+
+    if impl not in ("einsum", "fused", "auto"):
+        raise ValueError(f"unknown Swin attn_impl {impl!r}")
+    fused_ok = _tpu_backend() and (deterministic or attn_drop == 0.0)
+    if impl == "auto":
+        return "fused" if fused_ok else "einsum"
+    if impl == "fused" and not fused_ok:
+        import warnings
+
+        reason = ("attention dropout is active (kernel has no dropout)"
+                  if not (deterministic or attn_drop == 0.0)
+                  else "non-TPU backend")
+        warnings.warn(f"Swin attn_impl=fused falling back to einsum: "
+                      f"{reason}", stacklevel=2)
+        return "einsum"
+    return impl
+
+
 class WindowAttention(nn.Module):
     """Window attention over `pack` windows per call (block-diag masked).
 
@@ -108,6 +131,10 @@ class WindowAttention(nn.Module):
     position bias is shared by every window, so its packed form is
     kron(I_pack, bias) — built once per call from the same (2ws-1)^2
     table the reference uses, parameter shape unchanged.
+
+    attn_impl="fused" routes qk+bias+mask+softmax+av through the fused
+    Pallas kernel (`ops/pallas/window_attention.py`): scores never touch
+    HBM and softmax runs f32 regardless of `softmax_dtype`.
     """
 
     dim: int
@@ -119,6 +146,8 @@ class WindowAttention(nn.Module):
     pack: int = 1
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    attn_impl: str = "einsum"
+    attn_interpret: bool = False  # pallas interpret mode (CPU tests)
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None, deterministic: bool = True):
@@ -131,7 +160,6 @@ class WindowAttention(nn.Module):
                        kernel_init=tinit.trunc_normal_(std=0.02), name="qkv")(x)
         qkv = qkv.reshape(b, lg, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=acc)
 
         ws = self.window_size
         l = ws * ws
@@ -142,16 +170,28 @@ class WindowAttention(nn.Module):
         if self.pack > 1:
             eye = jnp.eye(self.pack, dtype=bias.dtype)
             bias = jax.vmap(lambda bb: jnp.kron(eye, bb))(bias)  # [h, lg, lg]
-        attn = attn + bias[None].astype(acc)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask)
-            attn = attn.reshape(b // nw, nw, h, lg, lg) + m[None, :, None, :, :].astype(acc)
-            attn = attn.reshape(b, h, lg, lg)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lg, c)
+        impl = (resolve_window_impl(self.attn_impl, self.attn_drop, deterministic)
+                if not self.attn_interpret else "fused")
+        if impl == "fused":
+            from ..ops.pallas.window_attention import fused_window_attention
+
+            out = fused_window_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), bias, mask, scale=scale,
+                interpret=self.attn_interpret)
+            out = out.transpose(0, 2, 1, 3).reshape(b, lg, c)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=acc)
+            attn = attn + bias[None].astype(acc)
+            if mask is not None:
+                nw = mask.shape[0]
+                m = jnp.asarray(mask)
+                attn = attn.reshape(b // nw, nw, h, lg, lg) + m[None, :, None, :, :].astype(acc)
+                attn = attn.reshape(b, h, lg, lg)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lg, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
@@ -170,6 +210,8 @@ class SwinBlock(nn.Module):
     win_pack: int = 2
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    attn_impl: str = "einsum"
+    attn_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -197,6 +239,8 @@ class SwinBlock(nn.Module):
         attn_out = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
                                    self.attn_drop, self.drop, pack=g,
                                    dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                                   attn_impl=self.attn_impl,
+                                   attn_interpret=self.attn_interpret,
                                    name="attn")(windows, mask, deterministic)
         if g > 1:
             attn_out = attn_out.reshape(n * nwin, ws * ws, c)
@@ -246,6 +290,8 @@ class SwinTransformer(Model):
     num_classes: int = 1000
     win_pack: int = 2
     softmax_dtype: Any = "float32"
+    attn_impl: str = "einsum"  # "einsum" | "fused" (pallas) | "auto"
+    attn_interpret: bool = False  # pallas interpret mode (CPU tests)
     remat: bool = False  # activation recompute per SwinBlock
     remat_policy: str = "nothing"  # "nothing" | "dots_no_batch" | "dots"
     dtype: Any = jnp.float32
@@ -290,6 +336,7 @@ class SwinTransformer(Model):
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path=float(dpr[cur]), win_pack=self.win_pack,
                     dtype=self.dtype, softmax_dtype=softmax_dtype,
+                    attn_impl=self.attn_impl, attn_interpret=self.attn_interpret,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, not train)  # positional: remat static_argnums=(2,)
                 cur += 1

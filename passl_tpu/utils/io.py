@@ -271,10 +271,21 @@ def load_pretrained_into(path: str, params, model_state=None, report=None):
     return new_params, model_state
 
 
-def export(model, variables, sample_input, output_dir: str, name: str = "inference"):
-    """Export a serving artifact via jax.export → StableHLO bytes +
-    a params msgpack (reference export: paddle.jit.save / onnx,
-    io.py:206-226). The Predictor shim (engine/inference.py) loads it."""
+def export(model, variables, sample_input, output_dir: str, name: str = "inference",
+           formats=("stablehlo",)):
+    """Export a serving artifact (reference export: paddle.jit.save /
+    onnx, io.py:206-226; serving dispatch predictor.py:35-70 chooses
+    paddle-inference OR onnxruntime).
+
+    Formats:
+    - "stablehlo": jax.export bytes + params msgpack, loaded by the
+      Predictor shim (engine/inference.py) — the JAX-side runtime.
+    - "tf": TensorFlow SavedModel via jax2tf native serialization —
+      the SECOND runtime: the artifact embeds StableHLO executed by
+      TF's XlaCallModule and serves from a process that imports only
+      tensorflow (no passl_tpu, no jax) — the TPU-world analogue of
+      the reference's ONNXRuntime alternative.
+    """
     from jax import export as jexport
     import jax.numpy as jnp
 
@@ -285,14 +296,45 @@ def export(model, variables, sample_input, output_dir: str, name: str = "inferen
                            x, train=False)
 
     params = variables["params"]
-    # symbolic batch dim so the served artifact accepts any batch size
-    (b,) = jexport.symbolic_shape("b")
-    exp = jexport.export(jax.jit(fwd))(
-        jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
-        jax.ShapeDtypeStruct((b, *sample_input.shape[1:]), sample_input.dtype),
+    ret = None
+    if "stablehlo" in formats:
+        # symbolic batch dim so the served artifact accepts any batch size
+        (b,) = jexport.symbolic_shape("b")
+        exp = jexport.export(jax.jit(fwd))(
+            jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+            jax.ShapeDtypeStruct((b, *sample_input.shape[1:]), sample_input.dtype),
+        )
+        with open(os.path.join(output_dir, f"{name}.stablehlo"), "wb") as f:
+            f.write(exp.serialize())
+        save_params(params, os.path.join(output_dir, f"{name}.params"))
+        logger.info(f"exported model to {output_dir}/{name}.stablehlo")
+        ret = os.path.join(output_dir, f"{name}.stablehlo")
+    if "tf" in formats:
+        tf_path = _export_tf_savedmodel(fwd, params, sample_input, output_dir, name)
+        ret = ret or tf_path
+    return ret
+
+
+def _export_tf_savedmodel(fwd, params, sample_input, output_dir: str, name: str):
+    """TF SavedModel with a batch-polymorphic `serve` signature."""
+    import numpy as np
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fwd = jax2tf.convert(fwd, polymorphic_shapes=[None, "b, ..."],
+                            native_serialization=True)
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    params_vars = tf.nest.map_structure(tf.Variable, params_np)
+    module = tf.Module()
+    # keep variables reachable so SavedModel tracks (and restores) them
+    module._params = tf.nest.flatten(params_vars)
+    module.serve = tf.function(
+        lambda x: tf_fwd(params_vars, x),
+        autograph=False,
+        input_signature=[tf.TensorSpec([None, *sample_input.shape[1:]],
+                                       tf.as_dtype(np.dtype(sample_input.dtype)))],
     )
-    with open(os.path.join(output_dir, f"{name}.stablehlo"), "wb") as f:
-        f.write(exp.serialize())
-    save_params(params, os.path.join(output_dir, f"{name}.params"))
-    logger.info(f"exported model to {output_dir}/{name}.stablehlo")
-    return os.path.join(output_dir, f"{name}.stablehlo")
+    path = os.path.join(output_dir, f"{name}.tf")
+    tf.saved_model.save(module, path)
+    logger.info(f"exported TF SavedModel (second serving runtime) to {path}")
+    return path

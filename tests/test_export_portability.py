@@ -66,3 +66,61 @@ def test_stablehlo_artifact_runs_without_framework(tmp_path):
                          cwd=str(tmp_path))  # cwd outside the repo: no accidental import
     assert res.returncode == 0, res.stderr[-2000:]
     assert "PORTABLE_OK" in res.stdout
+
+
+TF_CONSUMER = textwrap.dedent("""
+    # Second-runtime consumer: ONLY tensorflow — no passl_tpu, no jax.
+    import sys
+    import numpy as np
+    import tensorflow as tf
+
+    art_dir = sys.argv[1]
+    m = tf.saved_model.load(f"{art_dir}/inference.tf")
+    x = np.random.RandomState(0).rand(3, 32, 32, 3).astype("float32")
+    out = np.asarray(m.serve(x))
+    ref = np.load(f"{art_dir}/expected.npy")
+    assert out.shape == ref.shape == (3, 10), (out.shape, ref.shape)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+    # the framework must not be needed at serving time (TF's bundled
+    # keras may lazily import jax for backend detection; that's TF's
+    # business — execution goes through tf XlaCallModule either way)
+    assert all("passl_tpu" not in mod for mod in sys.modules), \
+        "serving process imported passl_tpu"
+    print("TF_SERVE_OK", out.shape)
+""")
+
+
+def test_tf_savedmodel_second_runtime(tmp_path):
+    """The "tf" export format is a genuinely second serving runtime:
+    a fresh process importing ONLY tensorflow loads the SavedModel and
+    reproduces the in-framework logits (reference counterpart: the
+    predictor's ONNXRuntime branch, deploy/utils/predictor.py:35-70)."""
+    pytest.importorskip("tensorflow")
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from passl_tpu.models import build_model
+    from passl_tpu.utils import io
+
+    model = build_model({"name": "VisionTransformer", "img_size": 32,
+                         "patch_size": 8, "embed_dim": 64, "depth": 2,
+                         "num_heads": 4, "num_classes": 10})
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        {"params": jax.random.PRNGKey(0)}, x)
+    io.export(model, variables, x, str(tmp_path), formats=("tf",))
+
+    xq = np.random.RandomState(0).rand(3, 32, 32, 3).astype("float32")
+    expected = np.asarray(model.apply(variables, jnp.asarray(xq), train=False))
+    np.save(tmp_path / "expected.npy", expected)
+
+    consumer = tmp_path / "tf_consumer.py"
+    consumer.write_text(TF_CONSUMER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    res = subprocess.run([sys.executable, str(consumer), str(tmp_path)],
+                         capture_output=True, text=True, timeout=600, env=env,
+                         cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "TF_SERVE_OK" in res.stdout

@@ -21,11 +21,12 @@ echo "[TIPC] 2/4 eval from checkpoint"
 python -m passl_tpu.tools.eval -c "$CONFIG" \
   -o Global.output_dir="$OUT" -o Global.checkpoint="$OUT/latest.ckpt"
 
-echo "[TIPC] 3/4 export (trained weights via Global.checkpoint)"
+echo "[TIPC] 3/5 export (trained weights via Global.checkpoint)"
 python -m passl_tpu.tools.export -c "$CONFIG" -o Global.output_dir="$OUT" \
-  -o Global.checkpoint="$OUT/latest.ckpt"
+  -o Global.checkpoint="$OUT/latest.ckpt" \
+  -o "Export.formats=['stablehlo','tf']"
 
-echo "[TIPC] 4/4 python inference over the exported artifact"
+echo "[TIPC] 4/5 python inference over the exported artifact"
 python - "$OUT" "$CONFIG" <<'EOF'
 import sys
 import numpy as np
@@ -65,6 +66,23 @@ fe = traverse_util.flatten_dict(exported, sep="/")
 diff = sum(not np.allclose(np.asarray(fi[k]), np.asarray(fe[k])) for k in fi if k in fe)
 assert diff > 0, "export shipped fresh-init weights (no param differs from init)!"
 print(f"[TIPC] export carries trained weights: {diff}/{len(fi)} tensors differ from init")
+EOF
+
+echo "[TIPC] 5/5 second-runtime serving: TF SavedModel in a passl-free process"
+MODEL_NAME=$(python -c "import yaml,sys; print(yaml.safe_load(open(sys.argv[1]))['Model']['name'])" "$CONFIG")
+python - "$OUT" "$MODEL_NAME" <<'EOF'
+# serving-side consumer: tensorflow only, no passl_tpu import
+import sys
+import numpy as np
+import tensorflow as tf
+
+out_dir, name = sys.argv[1], sys.argv[2]
+m = tf.saved_model.load(f"{out_dir}/{name}.tf")
+x = np.random.RandomState(0).rand(2, 32, 32, 3).astype("float32")
+y = np.asarray(m.serve(x))
+assert y.ndim == 2 and y.shape[0] == 2 and np.isfinite(y).all(), y.shape
+assert all("passl_tpu" not in mod for mod in sys.modules)
+print(f"[TIPC] TF second-runtime serving ok: logits {y.shape}")
 EOF
 
 echo "[TIPC] lifecycle PASSED"
