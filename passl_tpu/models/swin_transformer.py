@@ -103,14 +103,22 @@ def _packed_attn_mask(h: int, w: int, ws: int, shift: int, g: int) -> Optional[n
 def resolve_window_impl(impl: str, attn_drop: float = 0.0,
                         deterministic: bool = True) -> str:
     """Map `attn_impl` to the path used this call (CaiT th_impl contract:
-    explicit fused on the wrong backend/config downgrades loudly)."""
+    explicit fused on the wrong backend/config downgrades loudly).
+
+    `auto` resolves to einsum everywhere: the fused Pallas kernel is a
+    measured NEGATIVE on v5e (Swin-B bs128 step 321 vs einsum-f32 420 vs
+    einsum-bf16 501 imgs/s; three kernel layouts tried — see
+    docs/benchmarks.md negative-results table). It stays in-tree as an
+    explicit opt-in research path; unlike CaiT's talking-heads (where
+    fused wins 29%), XLA's batched einsum at win_pack=2 is already near
+    its bandwidth floor on these window shapes."""
     from ..ops.attention import _tpu_backend
 
     if impl not in ("einsum", "fused", "auto"):
         raise ValueError(f"unknown Swin attn_impl {impl!r}")
     fused_ok = _tpu_backend() and (deterministic or attn_drop == 0.0)
     if impl == "auto":
-        return "fused" if fused_ok else "einsum"
+        return "einsum"
     if impl == "fused" and not fused_ok:
         import warnings
 

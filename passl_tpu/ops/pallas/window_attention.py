@@ -14,8 +14,9 @@ mask, p = softmax(s), out = p v — in one VMEM pass per window tile:
 
 - q/k/v are read once, out written once; scores/probabilities never
   touch HBM. Softmax runs in f32 regardless of the model dtype, so the
-  fused path is *more* accurate than the bf16-softmax XLA chain the
-  1.34x headline needed (same story as the CaiT talking-heads kernel).
+  fused path matches the f32-softmax XLA chain's accuracy (verified
+  on-chip at every Swin-B stage shape vs a CPU f32 ground truth) and
+  is ~2x more accurate than the bf16-softmax chain.
 - It composes with the model's window packing: at `win_pack=2` each
   dot is [98, 32] x [32, 98] / [98, 98] x [98, 32] — 98 <= 128 in every
   MXU dimension, so ONE systolic pass covers two windows and the
@@ -26,6 +27,17 @@ mask, p = softmax(s), out = p v — in one VMEM pass per window tile:
   block), so the relative-position-bias table trains exactly as in the
   einsum path; the shift/pack mask is a trace-time constant and gets no
   gradient.
+
+**Measured outcome on v5e: a perf NEGATIVE — explicit opt-in only.**
+Swin-B bs128 train step: fused 321 imgs/s vs einsum-f32 420 vs
+einsum-bf16 501. Four layout variants were measured (interleaved
+[B,h,L,d]; phase-separated dots/softmax/dots; lane-packed [B,L,h*d];
+transposed [B,C,L]) — see docs/benchmarks.md negative-results table
+for the per-stage numbers and the mechanism (XLA's batched einsum at
+win_pack=2 already sits near its bandwidth floor; the kernel's saved
+score-tensor HBM trips are smaller than its per-dot issue/relayout
+overhead on d=32 heads). Kept in-tree with full tests as the
+documented dead-end, the same contract as `win_pack=4`.
 
 Layout notes: the trailing [L, d] / [L, L] tiles are not lane-multiples
 (98 or 49); Mosaic pads them per tile. Heads and windows live in
@@ -43,8 +55,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 # unroll budget: W (windows per grid program) is chosen so W * heads
-# stays around this many fused dot pairs per program
-_UNROLL = 32
+# stays around this many fused dot pairs per program. 16 keeps the
+# backward kernel's per-iteration f32 [98, 98] temporaries (s/p/dp/ds,
+# ~230 KB each set) inside the 16 MB VMEM scoped-stack limit — 32
+# measured 256 KB over on v5e at the Swin stage-1 shape.
+_UNROLL = 16
 _NEG = -1e9
 
 
@@ -57,29 +72,32 @@ def _pick_w(b: int, h: int, n_mask: int) -> int:
     return w
 
 
-def _attend(q, k, v, add, out_dtype):
-    """One window's fused attention in f32. q/k/v [l, d], add [l, l]."""
+def _attend(q, k, v, add, scale, dot_dtype):
+    """One window's fused attention. q/k/v [l, d] at their native dtype
+    (bf16 dots run the MXU in fast bf16-in/f32-accumulate mode; casting
+    to f32 first measured 1.5x slower end-to-end), softmax in f32,
+    probabilities cast back to `dot_dtype` for the AV pass."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s + add
+    s = s * scale + add
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return o.astype(out_dtype), p
+        p.astype(dot_dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return o, p
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
                 w, h, n_mask, scale):
+    dd = q_ref.dtype
     for j in range(w):
         madd = mask_ref[j if n_mask >= w else j % n_mask].astype(jnp.float32)
         for head in range(h):
-            q = q_ref[j, head].astype(jnp.float32) * scale
-            k = k_ref[j, head].astype(jnp.float32)
-            v = v_ref[j, head].astype(jnp.float32)
             add = bias_ref[head] + madd
-            o, _ = _attend(q, k, v, add, jnp.float32)
+            o, _ = _attend(q_ref[j, head], k_ref[j, head], v_ref[j, head],
+                           add, scale, dd)
             out_ref[j, head] = o.astype(out_ref.dtype)
 
 
@@ -91,31 +109,32 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
     def _():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
+    dd = q_ref.dtype
     for j in range(w):
         madd = mask_ref[j if n_mask >= w else j % n_mask].astype(jnp.float32)
         for head in range(h):
-            q = q_ref[j, head].astype(jnp.float32) * scale
-            k = k_ref[j, head].astype(jnp.float32)
-            v = v_ref[j, head].astype(jnp.float32)
-            do = do_ref[j, head].astype(jnp.float32)
+            q = q_ref[j, head]
+            k = k_ref[j, head]
+            v = v_ref[j, head]
+            do = do_ref[j, head]
             add = bias_ref[head] + madd
-            _, p = _attend(q, k, v, add, jnp.float32)
+            _, p = _attend(q, k, v, add, scale, dd)
+            pd = p.astype(dd)
             # dv = p^T do   [l_k, d]
             dv = jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
+                pd, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             # dp = do v^T   [l_q, l_k]
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            # dq = ds k * scale ; dk = ds^T q_scaled (q already scaled,
-            # and dq folds scale symmetrically)
+            dsd = (ds * scale).astype(dd)
             dq = jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                dsd, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dk = jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
+                dsd, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dq_ref[j, head] = dq.astype(dq_ref.dtype)
             dk_ref[j, head] = dk.astype(dk_ref.dtype)
