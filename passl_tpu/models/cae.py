@@ -68,6 +68,7 @@ class CAEPretrain(Model):
     vocab_size: int = 8192
     tokenizer: Any = None  # DiscreteVAE kwargs
     align_weight: float = 2.0  # reference dual-loss weighting
+    token_weight: float = 1.0  # diagnostic knob: 0 = alignment-only tower
     num_masked: int = 98  # must match the host mask generator
     dtype: Any = jnp.float32
 
@@ -138,7 +139,7 @@ class CAEPretrain(Model):
         token_loss = -jnp.mean(jnp.take_along_axis(logp, target[:, :, None], axis=-1))
         acc = jnp.mean((jnp.argmax(logits, -1) == target).astype(jnp.float32))
 
-        loss = token_loss + self.align_weight * align_loss
+        loss = self.token_weight * token_loss + self.align_weight * align_loss
         return {"loss": loss, "token_loss": token_loss, "align_loss": align_loss, "acc1": acc}
 
 

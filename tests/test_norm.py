@@ -128,3 +128,74 @@ def test_resnet_accepts_bn_stats_stride():
     variables = model.init(jax.random.PRNGKey(0), x, train=True)
     y, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
     assert y.shape == (8, 4)
+
+
+class TestFusedGradBatchNorm:
+    """FusedGradBatchNorm == flax nn.BatchNorm in fwd, grads, and
+    running-stat updates (the backward is hand-written, so grads are
+    the contract under test)."""
+
+    def _pair(self, x):
+        from passl_tpu.nn.norm import FusedGradBatchNorm
+
+        fl = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        fg = FusedGradBatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        vf = fl.init(jax.random.PRNGKey(0), x)
+        vg = fg.init(jax.random.PRNGKey(0), x)
+        return fl, fg, vf, vg
+
+    def test_forward_and_running_stats_match_flax(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(16, 6, 6, 8) * 3 + 1,
+                        jnp.float32)
+        fl, fg, vf, vg = self._pair(x)
+        yf, mf = fl.apply(vf, x, mutable=["batch_stats"])
+        yg, mg = fg.apply(vg, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yg), atol=1e-5)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mf["batch_stats"][k]),
+                np.asarray(mg["batch_stats"][k]), atol=1e-5)
+
+    def test_grads_match_flax(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(16, 6, 6, 8),
+                        jnp.float32)
+        fl, fg, vf, vg = self._pair(x)
+
+        def loss(mod, var, x):
+            y, _ = mod.apply(var, x, mutable=["batch_stats"])
+            return jnp.sum(jnp.sin(y))
+
+        gf = jax.grad(lambda p, x: loss(fl, {"params": p, "batch_stats": vf["batch_stats"]}, x),
+                      argnums=(0, 1))(vf["params"], x)
+        gg = jax.grad(lambda p, x: loss(fg, {"params": p, "batch_stats": vg["batch_stats"]}, x),
+                      argnums=(0, 1))(vg["params"], x)
+        np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gg[1]),
+                                   atol=2e-6, err_msg="dx")
+        for k in ("scale", "bias"):
+            np.testing.assert_allclose(np.asarray(gf[0][k]), np.asarray(gg[0][k]),
+                                       atol=2e-5, err_msg=k)
+
+    def test_eval_mode_uses_running_stats(self):
+        from passl_tpu.nn.norm import FusedGradBatchNorm
+
+        x = jnp.asarray(np.random.RandomState(2).randn(8, 4, 4, 8), jnp.float32)
+        fl = nn.BatchNorm(use_running_average=True, epsilon=1e-5)
+        fg = FusedGradBatchNorm(use_running_average=True, epsilon=1e-5)
+        vf = fl.init(jax.random.PRNGKey(0), x)
+        stats = {"mean": jnp.asarray(np.random.RandomState(3).rand(8), jnp.float32),
+                 "var": jnp.asarray(np.random.RandomState(4).rand(8) + 0.5, jnp.float32)}
+        vf = {"params": vf["params"], "batch_stats": stats}
+        yf = fl.apply(vf, x)
+        yg = fg.apply(vf, x)
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yg), atol=1e-5)
+
+    def test_bf16_input_f32_stats(self):
+        from passl_tpu.nn.norm import FusedGradBatchNorm
+
+        x = jnp.asarray(np.random.RandomState(5).randn(32, 4, 4, 8), jnp.bfloat16)
+        fg = FusedGradBatchNorm(use_running_average=False, dtype=jnp.bfloat16)
+        v = fg.init(jax.random.PRNGKey(0), x)
+        y, m = fg.apply(v, x, mutable=["batch_stats"])
+        assert y.dtype == jnp.bfloat16
+        assert m["batch_stats"]["mean"].dtype == jnp.float32
+        assert np.isfinite(np.asarray(m["batch_stats"]["var"], np.float32)).all()
