@@ -119,20 +119,42 @@ class RepeatedAugSampler(DistributedBatchSampler):
 _WORKER_DATASET = None
 
 
-def _worker_init(dataset, seed: int = 0):
-    """Reseed python/numpy RNGs per worker (reference engine.py:86-89
-    worker_init_fn determinism discipline)."""
-    global _WORKER_DATASET
-    _WORKER_DATASET = dataset
-    import os
+def _sample_key(seed: int, epoch: int, gpos: int) -> int:
+    """Per-sample RNG key: splitmix64 of (seed, epoch, global stream
+    position). Keying aug on the sample's position in the (seeded,
+    topology-independent) epoch permutation makes host-side augmentation
+    deterministic AND invariant to worker count and process topology —
+    stronger than the reference's per-worker streams (engine.py:86-89),
+    where aug depends on which worker fetched the sample. Repeated-aug
+    copies of one image occupy different stream positions, so they still
+    receive distinct augmentations."""
+    z = (seed & 0xFFFFFFFFFFFFFFFF) * 0x9E3779B97F4A7C15
+    z ^= (epoch + 1) * 0xBF58476D1CE4E5B9
+    z ^= (gpos + 1) * 0x94D049BB133111EB
+    z &= 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return (z ^ (z >> 31)) & 0xFFFFFFFFFFFFFFFF
+
+
+def _seed_ambient(key: int) -> None:
     import random as _random
 
-    wid = os.getpid() % 100003
-    _random.seed(seed + wid)
-    np.random.seed((seed + wid) % (2**31))
+    _random.seed(key)
+    np.random.seed(key & 0x7FFFFFFF)
 
 
-def _worker_fetch(idx: int):
+def _worker_init(dataset, seed: int = 0):
+    """Install the dataset in the worker; per-sample reseeding happens
+    in `_worker_fetch` (worker identity must not influence aug)."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    _seed_ambient(_sample_key(seed, 0, 0))
+
+
+def _worker_fetch(args):
+    idx, key = args
+    _seed_ambient(key)
     return _WORKER_DATASET[idx]
 
 
@@ -177,17 +199,39 @@ class DataLoader:
             )
         return self._pool
 
-    def _fetch_batch(self, indices: np.ndarray):
+    def _keys_for(self, local_pos0: int, n: int):
+        """Per-sample RNG keys for a batch starting at local stream
+        position `local_pos0`. Global stream position of local element
+        p is `p * num_replicas + rank` (the sampler's strided layout),
+        so keys are identical for the same sample regardless of process
+        topology or worker assignment."""
+        bs = self.batch_sampler
+        epoch = getattr(bs, "epoch", 0)
+        rank = getattr(bs, "rank", 0)
+        rep = getattr(bs, "num_replicas", 1)
+        return [_sample_key(self.seed, epoch, (local_pos0 + j) * rep + rank)
+                for j in range(n)]
+
+    def _fetch_batch(self, indices: np.ndarray, local_pos0: int, batch_no: int):
+        keys = self._keys_for(local_pos0, len(indices))
         pool = self._get_pool()
         if pool is not None:
-            samples = pool.map(_worker_fetch, [int(i) for i in indices])
+            samples = pool.map(_worker_fetch,
+                               list(zip((int(i) for i in indices), keys)))
         else:
-            samples = [self.dataset[int(i)] for i in indices]
-        return self._finalize(samples)
+            samples = []
+            for i, key in zip(indices, keys):
+                _seed_ambient(key)
+                samples.append(self.dataset[int(i)])
+        return self._finalize(samples, batch_no)
 
-    def _finalize(self, samples):
+    def _finalize(self, samples, batch_no: int):
         batch = self.collate_fn(samples)
         if self.batch_transform is not None:
+            # batch transforms (mixup/cutmix) draw from the ambient RNG:
+            # key them on the (topology-shared) batch number
+            epoch = getattr(self.batch_sampler, "epoch", 0)
+            _seed_ambient(_sample_key(self.seed ^ 0x5A5A5A5A, epoch, batch_no))
             batch = self.batch_transform(batch)
         return batch
 
@@ -206,23 +250,33 @@ class DataLoader:
 
         def submit():
             try:
-                idxs = next(it)
+                batch_no, pos0, idxs = next(it)
             except StopIteration:
                 return False
-            pending.append([pool.apply_async(_worker_fetch, (int(i),)) for i in idxs])
+            keys = self._keys_for(pos0, len(idxs))
+            pending.append((batch_no, [
+                pool.apply_async(_worker_fetch, ((int(i), key),))
+                for i, key in zip(idxs, keys)]))
             return True
 
         for _ in range(depth):
             if not submit():
                 break
         while pending:
-            results = pending.popleft()
+            batch_no, results = pending.popleft()
             samples = [r.get() for r in results]
             submit()
-            yield self._finalize(samples)
+            yield self._finalize(samples, batch_no)
 
     def __iter__(self):
-        batches = list(self.batch_sampler)
+        # annotate each batch with its number and starting local stream
+        # position (drives the per-sample RNG keys; tail batches may be
+        # short, so positions are cumulative, not batch_no * batch_size)
+        batches = []
+        pos = 0
+        for bno, idxs in enumerate(self.batch_sampler):
+            batches.append((bno, pos, idxs))
+            pos += len(idxs)
         if self._skip_batches:
             batches = batches[self._skip_batches:]
             self._skip_batches = 0
@@ -231,11 +285,11 @@ class DataLoader:
             # prefetch thread below; worker decode overlaps via _iter_pipelined
             gen = self._iter_pipelined(batches)
         elif self.prefetch <= 0:
-            for b in batches:
-                yield self._fetch_batch(b)
+            for bno, pos0, b in batches:
+                yield self._fetch_batch(b, pos0, bno)
             return
         else:
-            gen = (self._fetch_batch(b) for b in batches)
+            gen = (self._fetch_batch(b, pos0, bno) for bno, pos0, b in batches)
 
         q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = object()

@@ -189,6 +189,17 @@ class Engine:
         self.pretrained_model = g.get("pretrained_model", None)
         self.profiler_options = g.get("profiler_options", None)
         self.seed = int(g.get("seed", 42))
+        # seed the ambient python/numpy RNGs per rank (reference
+        # engine.py:77-89 "seed = config seed + rank"). The data pipeline
+        # does NOT rely on this — loader aug is keyed per sample
+        # (loader._sample_key) so it is reproducible and topology/worker
+        # invariant — but anything else touching the global RNGs gets a
+        # deterministic stream too.
+        import random as _random
+
+        _rank = jax.process_index() if jax.process_count() > 1 else 0
+        _random.seed(self.seed + _rank)
+        np.random.seed((self.seed + _rank) % (2**31))
 
         # ---- data
         dl_cfg = config.get("DataLoader", {})

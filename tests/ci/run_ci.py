@@ -20,7 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import random
+
 import sys
 import time
 
@@ -149,8 +149,10 @@ def run_case(name: str, spec: dict) -> dict:
     from passl_tpu.engine import Engine
     from passl_tpu.utils import cfg_util
 
-    random.seed(0)
-    np.random.seed(0)
+    # determinism is framework-owned: Engine seeds the ambient RNGs and
+    # the loader keys aug per sample (loader._sample_key) — the harness
+    # deliberately does NOT seed anything, so these goldens certify the
+    # real CLI behavior (a regression here = a reproducibility bug)
     config = cfg_util.get_config(os.path.join(REPO, spec["config"]),
                                  overrides=spec["overrides"])
     config["Global"]["output_dir"] = f"/tmp/passl_ci/{name}"

@@ -274,3 +274,104 @@ def test_loader_set_skip_is_index_level():
     assert min(fetched) == 16  # first two batches never touched
     # skip is one-shot
     assert len(list(dl)) == 4
+
+
+def _aug_loader(seed=7, num_workers=0, num_replicas=1, rank=0, bs=4):
+    """Loader over a random-transform stack whose output is a pure
+    function of the per-sample RNG keys."""
+    from passl_tpu.data import build_dataloader
+
+    dl = build_dataloader({
+        "dataset": {"name": "SyntheticDataset", "size": 16, "image_size": 16,
+                    "num_classes": 3,
+                    "transform": [
+                        {"RandomResizedCrop": {"size": 12, "scale": [0.3, 1.0]}},
+                        {"RandFlipImage": {"prob": 0.5}},
+                        {"NormalizeImage": {"scale": 0.00392157}},
+                    ]},
+        "sampler": {"batch_size": bs, "shuffle": True, "drop_last": True},
+        "loader": {"num_workers": num_workers, "prefetch": 1},
+    }, "Train", seed=seed)
+    dl.batch_sampler.num_replicas = num_replicas
+    dl.batch_sampler.rank = rank
+    dl.batch_sampler.num_samples = dl.batch_sampler.dataset_len // num_replicas
+    return dl
+
+
+def test_aug_deterministic_across_runs():
+    """Host-side augmentation must be a pure function of (seed, epoch,
+    stream position) — NOT of interpreter RNG state (the pre-round-4
+    bug: num_workers=0 never seeded the ambient RNGs, so the same
+    config produced different aug streams run to run; CAE learning
+    probes swung 0.21-0.69)."""
+    import random as pyrandom
+
+    outs = []
+    for perturb in (0, 12345):
+        pyrandom.seed(perturb)  # ambient state must not matter
+        np.random.seed(perturb + 1)
+        dl = _aug_loader()
+        dl.set_epoch(0)
+        outs.append(np.concatenate([np.asarray(b[0]).ravel() for b in dl]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_aug_invariant_to_worker_count():
+    """num_workers=0 vs 2 must produce byte-identical batches (keys are
+    per sample, not per worker — stronger than the reference's
+    worker_init_fn streams where aug depends on worker assignment)."""
+    dls = [_aug_loader(num_workers=0), _aug_loader(num_workers=2)]
+    outs = []
+    for dl in dls:
+        dl.set_epoch(1)
+        outs.append(np.stack([np.asarray(b[0]) for b in dl]))
+        dl.close()
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_aug_invariant_to_process_topology():
+    """The union of 2 ranks' augmented samples == the 1-rank run's
+    samples (per-sample keys use the GLOBAL stream position, so a
+    sample's aug doesn't depend on which process owns it — this is what
+    makes the multiprocess loss-match check meaningful under aug)."""
+    one = _aug_loader(num_replicas=1, rank=0, bs=4)
+    one.set_epoch(2)
+    full = np.concatenate([np.asarray(b[0]) for b in one])  # [16, ...]
+
+    r0 = _aug_loader(num_replicas=2, rank=0, bs=2)
+    r1 = _aug_loader(num_replicas=2, rank=1, bs=2)
+    r0.set_epoch(2)
+    r1.set_epoch(2)
+    part0 = np.concatenate([np.asarray(b[0]) for b in r0])  # positions 0::2
+    part1 = np.concatenate([np.asarray(b[0]) for b in r1])  # positions 1::2
+    merged = np.empty_like(full)
+    merged[0::2] = part0
+    merged[1::2] = part1
+    np.testing.assert_array_equal(full, merged)
+
+
+def test_batch_transform_deterministic():
+    """Mixup draws from the ambient RNG; the loader keys it per batch."""
+    from passl_tpu.data import build_dataloader
+
+    def make():
+        return build_dataloader({
+            "dataset": {"name": "SyntheticDataset", "size": 16, "image_size": 8,
+                        "num_classes": 4,
+                        "transform": [{"NormalizeImage": {"scale": 0.00392157}}]},
+            "sampler": {"batch_size": 8, "shuffle": False, "drop_last": True},
+            "loader": {"num_workers": 0},
+            "batch_transform": [{"Mixup": {"alpha": 0.8, "num_classes": 4}}],
+        }, "Train", seed=11)
+
+    import random as pyrandom
+
+    a = []
+    for perturb in (0, 999):
+        pyrandom.seed(perturb)
+        np.random.seed(perturb)
+        dl = make()
+        dl.set_epoch(0)
+        a.append([np.asarray(b[1]) for b in dl])
+    for x, y in zip(a[0], a[1]):
+        np.testing.assert_array_equal(x, y)
