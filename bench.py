@@ -153,7 +153,7 @@ def _time_step(step, state, batch, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_simclr_r50():
+def bench_simclr_r50(bn_impl: str = "flax"):
     import functools
 
     import jax
@@ -173,7 +173,8 @@ def bench_simclr_r50():
 
     model = build_model({
         "name": "SimCLR",
-        "backbone": {"name": "resnet50", "num_classes": 0, "with_pool": False},
+        "backbone": {"name": "resnet50", "num_classes": 0, "with_pool": False,
+                     "bn_impl": bn_impl},
         "neck": {"name": "NonLinearNeckfc3", "hid_channels": 2048, "out_channels": 128},
         "temperature": 0.5,
         "dtype": jnp.bfloat16,
@@ -675,6 +676,12 @@ def main():
                           {"name": "MAEVisionTransformer",
                            "softmax_dtype": "bfloat16"},
                           256, 3927.0 / 32))
+        # headline recipe + ghost-grad BN (exact forward, stats-as-
+        # constants backward; learning-check probe 1.000 — nn/norm.py
+        # GhostGradBatchNorm). Reported as its OWN row: the headline
+        # above stays exact-gradient for honest reference parity.
+        add("simclr_r50_ghostbn", run("simclr_r50_ghostbn",
+                                      bench_simclr_r50, "ghost_grad"))
     emitted["done"] = True
     _emit(state)
 

@@ -199,3 +199,39 @@ class TestFusedGradBatchNorm:
         assert y.dtype == jnp.bfloat16
         assert m["batch_stats"]["mean"].dtype == jnp.float32
         assert np.isfinite(np.asarray(m["batch_stats"]["var"], np.float32)).all()
+
+
+class TestGhostGradBatchNorm:
+    def test_forward_matches_exact_bn(self):
+        from passl_tpu.nn.norm import GhostGradBatchNorm
+
+        x = jnp.asarray(np.random.RandomState(7).randn(16, 4, 4, 8) * 2 + 1,
+                        jnp.float32)
+        fl = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        gg = GhostGradBatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        vf = fl.init(jax.random.PRNGKey(0), x)
+        yf, mf = fl.apply(vf, x, mutable=["batch_stats"])
+        yg, mg = gg.apply(vf, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yg), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mf["batch_stats"]["var"]),
+                                   np.asarray(mg["batch_stats"]["var"]), atol=1e-5)
+
+    def test_backward_is_ghost(self):
+        """dx must be inv*scale*dy exactly (no correction terms)."""
+        from passl_tpu.nn.norm import GhostGradBatchNorm
+
+        x = jnp.asarray(np.random.RandomState(8).randn(32, 8), jnp.float32)
+        gg = GhostGradBatchNorm(use_running_average=False)
+        v = gg.init(jax.random.PRNGKey(0), x)
+
+        def f(x):
+            y, _ = gg.apply(v, x, mutable=["batch_stats"])
+            return jnp.sum(y * jnp.asarray(np.random.RandomState(9).randn(*y.shape),
+                                           jnp.float32))
+
+        dx = jax.grad(f)(x)
+        mean = np.mean(np.asarray(x), axis=0)
+        var = np.mean(np.asarray(x) ** 2, axis=0) - mean ** 2
+        inv = 1.0 / np.sqrt(var + 1e-5)
+        dy = np.random.RandomState(9).randn(32, 8).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(dx), dy * inv, rtol=1e-5, atol=1e-6)
