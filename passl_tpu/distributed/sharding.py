@@ -39,6 +39,20 @@ VIT_TP_RULES: List[Tuple[str, P]] = [
     (r"mlp/fc2/bias$", P()),
 ]
 
+# Expert parallelism for MoE models (models/vit_moe.py): the stacked
+# expert dim rides the fsdp axis (each device holds E/fsdp experts and
+# XLA's SPMD partitioner inserts the token all-to-alls from the
+# dispatch/combine einsums), expert hidden dims ride tp — the
+# declarative twin of the explicit `nn/moe.make_expert_parallel_mlp`
+# shard_map path. Beyond the reference (no MoE anywhere in PASSL).
+MOE_SHARD_RULES: List[Tuple[str, P]] = [
+    (r"moe/router$", P()),
+    (r"moe/w1$", P(FSDP_AXIS, None, TP_AXIS)),
+    (r"moe/b1$", P(FSDP_AXIS, TP_AXIS)),
+    (r"moe/w2$", P(FSDP_AXIS, TP_AXIS, None)),
+    (r"moe/b2$", P(FSDP_AXIS, None)),
+]
+
 
 def _fsdp_spec(shape: Sequence[int], fsdp_size: int, base: Optional[P] = None, min_size: int = 2**14) -> P:
     """Add FSDP sharding on the largest yet-unsharded axis divisible by
@@ -48,6 +62,8 @@ def _fsdp_spec(shape: Sequence[int], fsdp_size: int, base: Optional[P] = None, m
     spec = list(base) if base is not None else [None] * len(shape)
     while len(spec) < len(shape):
         spec.append(None)
+    if FSDP_AXIS in spec:  # rule already placed fsdp (e.g. expert dim)
+        return P(*spec)
     # candidate axes: unsharded, divisible
     cands = [i for i, s in enumerate(shape) if spec[i] is None and s % fsdp_size == 0]
     if not cands:
@@ -66,24 +82,30 @@ def partition_params(
 ) -> Any:
     """Returns a pytree of NamedSharding congruent with `params`."""
     tp_rules = list(tp_rules or [])
-    tp_size = mesh.shape.get(TP_AXIS, 1)
     fsdp_size = mesh.shape.get(FSDP_AXIS, 1) if use_fsdp else 1
+
+    def _entry_size(entry) -> int:
+        axes = entry if isinstance(entry, tuple) else (entry,)
+        return int(np.prod([mesh.shape.get(a, 1) for a in axes]))
+
     flat = traverse_util.flatten_dict(params, sep="/")
     out = {}
     for path, leaf in flat.items():
         shape = np.shape(leaf)
         base = None
-        if tp_size > 1:
-            for pat, spec in tp_rules:
-                if re.search(pat, path):
-                    # drop tp-axis entries that don't divide
-                    ok = all(
-                        spec[i] is None or (i < len(shape) and shape[i] % tp_size == 0)
-                        for i in range(len(spec))
-                    )
-                    if ok:
-                        base = spec
-                    break
+        for pat, spec in tp_rules:
+            if re.search(pat, path):
+                # drop rules whose sharded dims don't divide (a mesh
+                # axis of size 1 always divides — sharding over it is a
+                # no-op, so rules stay valid at any tp/fsdp degree)
+                ok = all(
+                    spec[i] is None
+                    or (i < len(shape) and shape[i] % _entry_size(spec[i]) == 0)
+                    for i in range(len(spec))
+                )
+                if ok:
+                    base = spec
+                break
         out[path] = NamedSharding(mesh, _fsdp_spec(shape, fsdp_size, base, min_size_to_shard))
     return traverse_util.unflatten_dict(out, sep="/")
 

@@ -409,10 +409,12 @@ class Engine:
         if fsdp_degree > 1 or mp_degree > 1:
             # ZeRO/megatron placement (replaces the reference's
             # ShardingStage2 wrapper + ring-TP layers, SURVEY §2.3)
-            from ..distributed.sharding import VIT_TP_RULES, shard_train_state
+            from ..distributed.sharding import (MOE_SHARD_RULES, VIT_TP_RULES,
+                                                shard_train_state)
 
             self.state, self.state_shardings = shard_train_state(
-                state, self.mesh, tp_rules=VIT_TP_RULES, use_fsdp=fsdp_degree > 1
+                state, self.mesh, tp_rules=VIT_TP_RULES + MOE_SHARD_RULES,
+                use_fsdp=fsdp_degree > 1
             )
             logger.info(f"sharded train state over mesh {dict(self.mesh.shape)} "
                         f"(fsdp={fsdp_degree}, tp={mp_degree})")

@@ -104,7 +104,19 @@ def make_train_step(
             else:
                 images, labels = batch
             logits, new_ms = model.apply(variables, images, train=True, mutable=MUTABLE, rngs=rngs)
+            # models with auxiliary objectives (e.g. the MoE router's
+            # load-balance loss, models/vit_moe.py) return
+            # {"logits", ...aux}: every "*loss*" entry joins the
+            # objective; other entries become metrics
+            aux = {}
+            if isinstance(logits, dict):
+                aux = {k: v for k, v in logits.items() if k != "logits"}
+                logits = logits["logits"]
             total, loss_dict = _total_loss(criterion(logits, labels))
+            for k, v in aux.items():
+                if "loss" in k:
+                    total = total + v
+                loss_dict[k] = v
             if extra_metrics_fn is not None:
                 loss_dict.update(extra_metrics_fn(logits, labels))
         return total * scale, (new_ms, loss_dict)
