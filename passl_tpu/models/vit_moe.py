@@ -46,6 +46,7 @@ class BlockMoE(nn.Module):
     capacity_factor: float = 1.25
     aux_weight: float = 0.01
     z_weight: float = 0.0
+    group_size: int = 256
     dtype: Dtype = jnp.float32
     softmax_dtype: Dtype = jnp.float32
 
@@ -71,6 +72,7 @@ class BlockMoE(nn.Module):
             hidden_features=int(dim * self.mlp_ratio),
             aux_weight=self.aux_weight,
             z_weight=self.z_weight,
+            group_size=self.group_size,
             dtype=self.dtype,
             name="moe",
         )(y, deterministic=deterministic)
@@ -102,6 +104,7 @@ class VisionTransformerMoE(Model):
     capacity_factor: float = 1.25
     aux_weight: float = 0.01
     z_weight: float = 0.0
+    group_size: int = 256  # routing group tokens (nn/moe.MoEMlp)
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_features: bool = False):
@@ -142,6 +145,7 @@ class VisionTransformerMoE(Model):
                     capacity_factor=self.capacity_factor,
                     aux_weight=self.aux_weight,
                     z_weight=self.z_weight,
+                    group_size=self.group_size,
                     name=f"blocks_{i}",
                     **common,
                 )(x, not train)

@@ -133,6 +133,17 @@ class MoEMlp(nn.Module):
     act: Callable = nn.gelu
     aux_weight: float = 0.01        # V-MoE load-balance weight
     z_weight: float = 0.0           # ST-MoE router z-loss (opt-in)
+    # routing group size in tokens (GShard "groups"): dispatch/combine
+    # one-hots are [G, T/G, E, C_g] with capacity per group, so their
+    # footprint scales as T·E·C_g = T²·E·k·cf/(E·G) — without grouping
+    # (group_size=0 → one global group) the tensors are quadratic in the
+    # global token count and blow past HBM at production batch sizes.
+    # Groups are whole images (the reshape never splits a sample, so it
+    # stays local under batch sharding). The 256-token default means one
+    # 224px image per group — the measured on-chip optimum: ViT-S/16-e8
+    # bs256 runs 1724 imgs/s at gs=197/256 vs 1525 at gs=1024, 1323 at
+    # gs=2048 (smaller groups shrink the one-hot dispatch flops).
+    group_size: int = 256
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,14 +153,25 @@ class MoEMlp(nn.Module):
         t = n * s
         e = self.num_experts
         hidden = self.hidden_features or d
-        cap = moe_capacity(t, e, self.k, self.capacity_factor)
+        if self.group_size and self.group_size < t:
+            # group = whole images (largest image count whose tokens fit
+            # the target), so the [n,s,d]→[g,tg,d] reshape never splits a
+            # sample — it stays a pure local reshape under batch sharding
+            m = max(mm for mm in range(1, max(self.group_size // s, 1) + 1)
+                    if n % mm == 0)
+            tg = m * s
+        else:
+            tg = t
+        g = t // tg
+        cap = moe_capacity(tg, e, self.k, self.capacity_factor)
 
-        xt = x.reshape(t, d)
+        xt = x.reshape(g, tg, d)
         # router in f32 regardless of model compute dtype
         wr = self.param("router", nn.initializers.normal(0.02), (d, e), jnp.float32)
-        logits = jnp.dot(xt.astype(jnp.float32), wr)
+        logits = jnp.einsum("gtd,de->gte", xt.astype(jnp.float32), wr)
         gates = jax.nn.softmax(logits, axis=-1)
-        combine, dispatch, first = topk_dispatch(gates, self.k, cap)
+        combine, dispatch, first = jax.vmap(
+            lambda gg: topk_dispatch(gg, self.k, cap))(gates)
 
         xavier = nn.initializers.xavier_uniform(in_axis=-2, out_axis=-1,
                                                 batch_axis=(0,))
@@ -158,10 +180,13 @@ class MoEMlp(nn.Module):
         w2 = self.param("w2", xavier, (e, hidden, d), jnp.float32)
         b2 = self.param("b2", nn.initializers.zeros, (e, d), jnp.float32)
 
-        xe = jnp.einsum("tec,td->ecd", dispatch.astype(x.dtype), xt)
-        ye = expert_ffn(xe, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2,
-                        self.act)
-        y = jnp.einsum("tec,ecd->td", combine.astype(x.dtype), ye)
+        xe = jnp.einsum("gtec,gtd->egcd", dispatch.astype(x.dtype), xt)
+        ye = expert_ffn(xe.reshape(e, g * cap, d), w1.astype(x.dtype), b1,
+                        w2.astype(x.dtype), b2, self.act)
+        ye = ye.reshape(e, g, cap, d)
+        y = jnp.einsum("gtec,egcd->gtd", combine.astype(x.dtype), ye)
+        gates = gates.reshape(t, e)
+        first = first.reshape(t, e)
 
         balance = load_balance_loss(gates, first)
         aux = {

@@ -146,6 +146,22 @@ def test_expert_parallel_gradients_match_dense():
             np.abs(np.asarray(a) - np.asarray(b)).max()
 
 
+def test_grouped_routing_matches_global_when_no_drops():
+    """GShard grouping changes the one-hot footprint, not the math:
+    with generous capacity the grouped module equals the global one."""
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(8, 6, 16), jnp.float32)  # 48 tokens
+    kw = dict(num_experts=4, k=2, hidden_features=24, capacity_factor=8.0)
+    m_global = MoEMlp(group_size=0, **kw)
+    m_grouped = MoEMlp(group_size=12, **kw)  # 2 images / 12 tokens per group
+    variables = m_global.init(jax.random.PRNGKey(0), x)
+    yg, auxg = m_global.apply(variables, x)
+    yk, auxk = m_grouped.apply(variables, x)
+    assert np.allclose(np.asarray(yg), np.asarray(yk), atol=1e-5)
+    assert np.allclose(float(auxg["moe_aux_loss"]), float(auxk["moe_aux_loss"]),
+                       atol=1e-6)
+
+
 def test_moe_mlp_module_and_aux():
     m = MoEMlp(num_experts=4, k=2, hidden_features=32, capacity_factor=2.0)
     x = jnp.asarray(np.random.RandomState(3).randn(2, 9, 16), jnp.float32)
