@@ -135,6 +135,12 @@ CASES["swin_tiny_cls_bf16"] = {
 CASES["distill_tiny"] = {
     "config": "configs/distill/distill_tiny_synthetic.yaml",
     "overrides": list(_STD)}
+# round-4: V-MoE (routed experts + load-balance aux loss; beyond the
+# reference — production recipe configs/classification/
+# vmoe_base_patch16_224_e8_in1k.yaml)
+CASES["vmoe_tiny_cls"] = {
+    "config": "configs/classification/vmoe_tiny_synthetic.yaml",
+    "overrides": list(_STD)}
 
 
 def _global_batch(spec: dict) -> int:

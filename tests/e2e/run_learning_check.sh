@@ -33,11 +33,26 @@ case "$METHOD" in
           PROBE_CFG=tests/e2e/probe_beit_structured.yaml ;;
   cae)    CFG=tests/e2e/cae_structured.yaml; PREFIX=__cae__
           PROBE_CFG=tests/e2e/probe_cae_structured.yaml ;;
+  vmoe)   CFG=tests/e2e/vmoe_structured.yaml; PREFIX=__supervised__ ;;
   *) echo "unknown method $METHOD"; exit 2 ;;
 esac
 OUT=/tmp/passl_learning_$METHOD
 rm -rf "$OUT"
 mkdir -p "$OUT"
+
+if [ "$PREFIX" = "__supervised__" ]; then
+  # supervised sparse-expert check: the model IS the classifier — no
+  # extract/probe. PASS = held-out top1 far above chance AND the router
+  # did not collapse (moe_balance = E*sum(f*P), 1.0 when balanced)
+  python -m passl_tpu.tools.train -c "$CFG" \
+    -o Global.output_dir="$OUT/train" | tee "$OUT/train.log"
+  top1=$(grep -oE "top1: [0-9.]+" "$OUT/train.log" | tail -1 | awk '{print $2}')
+  bal=$(grep -oE "moe_balance: [0-9.]+" "$OUT/train.log" | tail -1 | awk '{print $2}')
+  echo "FINAL supervised top1: $top1 (chance = 0.10), router balance: $bal"
+  python -c "import sys; sys.exit(0 if float('$top1') > 0.9 and float('$bal') < 1.5 else 1)"
+  echo "LEARNING CHECK PASSED"
+  exit 0
+fi
 
 if [ "$METHOD" = "beit" ] || [ "$METHOD" = "cae" ]; then
   # stage 0: train the dVAE tokenizer the masked-token objective needs,
