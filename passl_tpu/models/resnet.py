@@ -79,6 +79,52 @@ def _make_norm(bn_splits: int, dtype, name: str, use_running_average: bool, mome
     )
 
 
+class SpaceToDepthStem(nn.Module):
+    """Exact space-to-depth reformulation of the 7x7/s2 stem conv (the
+    classic TPU ResNet optimization, e.g. MLPerf TPU submissions).
+
+    A 7x7 stride-2 conv on 3-channel input runs the MXU at 3/128 lane
+    occupancy on the contraction. Equivalent computation: zero-pad the
+    kernel to 8x8 at the top-left, 2x2-space-to-depth the input
+    ([H,W,3] -> [H/2,W/2,12]) and the kernel ([8,8,3,F] ->
+    [4,4,12,F]), then convolve stride-1 VALID. Bit-equivalent modulo
+    float summation order (test_backbones.py asserts numerics).
+
+    The parameter keeps the canonical [7,7,C,F] shape under the same
+    "conv1/kernel" path, so checkpoints interchange freely with the
+    nn.Conv stem and the transform stays inside the jitted graph
+    (differentiable; XLA folds the kernel reshape into a constant-like
+    preamble per step — negligible next to the conv itself).
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = tinit.kaiming_normal_(mode="fan_out", nonlinearity="relu")
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        n, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even spatial dims"
+        k = self.param("kernel", self.kernel_init, (7, 7, c, self.features),
+                       jnp.float32)
+        # window for output i covers rows 2i-3..2i+3 (pad=3); prepend a
+        # zero kernel row/col so the window start 2i-4 is block-aligned
+        k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = (k8.reshape(4, 2, 4, 2, c, self.features)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(4, 4, 4 * c, self.features))
+        xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+        hh, ww = (h + 6) // 2, (w + 6) // 2
+        xs = (xp.reshape(n, hh, 2, ww, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, hh, ww, 4 * c))
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), k4.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
@@ -166,6 +212,7 @@ class ResNet(Model):
     bn_impl: str = "flax"  # "flax" | "fused_grad" (exact, parity) | "ghost_grad" (-12.7% step, approx backward)
     with_pool: bool = True
     cifar_stem: bool = False
+    stem_impl: str = "conv7"  # "conv7" | "s2d" (space-to-depth, exact; see SpaceToDepthStem)
     dtype: Any = jnp.float32
     head_init_std: Optional[float] = None  # e.g. 0.01 for linear probe
 
@@ -178,6 +225,8 @@ class ResNet(Model):
         )
         if self.cifar_stem:
             x = conv(64, (3, 3), padding=1, name="conv1")(x)
+        elif self.stem_impl == "s2d":
+            x = SpaceToDepthStem(features=64, dtype=self.dtype, name="conv1")(x)
         else:
             x = conv(64, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
         x = _make_norm(self.bn_splits, self.dtype, "bn1", not train, bn_stats_stride=self.bn_stats_stride, bn_stats_slice=self.bn_stats_slice, bn_impl=self.bn_impl)(x)

@@ -36,6 +36,41 @@ def test_backbone_forward(cfg, in_shape, out_shape, rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_space_to_depth_stem_exact(rng):
+    """s2d stem == 7x7/s2 conv (values + grads) with the SAME kernel
+    param — checkpoint-compatible exact reformulation (resnet.py
+    SpaceToDepthStem)."""
+    import flax.linen as nn
+
+    from passl_tpu.models.resnet import SpaceToDepthStem
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+    stem = SpaceToDepthStem(features=16)
+    v = stem.init(rng, x)
+    k = v["params"]["kernel"]
+    assert k.shape == (7, 7, 3, 16)
+    conv = nn.Conv(16, (7, 7), strides=(2, 2), padding=3, use_bias=False)
+    y_conv = conv.apply({"params": {"kernel": k}}, x)
+    y_s2d = stem.apply(v, x)
+    assert y_conv.shape == y_s2d.shape == (2, 16, 16, 16)
+    assert np.allclose(np.asarray(y_conv), np.asarray(y_s2d), atol=1e-5)
+    g1 = jax.grad(lambda k: jnp.sum(jnp.sin(conv.apply({"params": {"kernel": k}}, x))))(k)
+    g2 = jax.grad(lambda k: jnp.sum(jnp.sin(stem.apply({"params": {"kernel": k}}, x))))(k)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_resnet_s2d_stem_model_matches_conv7(rng):
+    from passl_tpu.models import build_model
+
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    m1 = build_model({"name": "resnet18", "num_classes": 10})
+    m2 = build_model({"name": "resnet18", "num_classes": 10, "stem_impl": "s2d"})
+    v = m1.init({"params": rng}, x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    y2 = m2.apply(v, x, train=False)  # same params, same path names
+    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
+
+
 def test_swin_shifted_window_mask():
     from passl_tpu.models.swin_transformer import _shift_attn_mask, window_partition, window_reverse
 
