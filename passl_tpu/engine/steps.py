@@ -117,6 +117,11 @@ def make_train_step(
                 if "loss" in k:
                     total = total + v
                 loss_dict[k] = v
+            if aux:
+                # the logged/golden "loss" must equal the optimized
+                # objective, aux terms included — otherwise a regression
+                # that drops an aux loss passes golden CI unnoticed
+                loss_dict["loss"] = total
             if extra_metrics_fn is not None:
                 loss_dict.update(extra_metrics_fn(logits, labels))
         return total * scale, (new_ms, loss_dict)

@@ -70,6 +70,7 @@ class BlockMoE(nn.Module):
             k=self.moe_k,
             capacity_factor=self.capacity_factor,
             hidden_features=int(dim * self.mlp_ratio),
+            drop=self.drop,
             aux_weight=self.aux_weight,
             z_weight=self.z_weight,
             group_size=self.group_size,
@@ -156,18 +157,26 @@ class VisionTransformerMoE(Model):
 
         x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
         feats = x[:, 0]
-        if return_features or self.num_classes == 0:
-            return feats
-        logits = nn.Dense(self.num_classes, dtype=self.dtype,
-                          kernel_init=tinit.trunc_normal_(std=0.02),
-                          name="head")(feats)
-        if not train:
-            return logits
-        return {
-            "logits": logits,
+        aux = {
             "moe_aux_loss": sum(aux_losses),
             "moe_balance": sum(balances) / max(len(balances), 1),
         }
+        if return_features or self.num_classes == 0:
+            # backbone mode: in training the router's balance loss MUST
+            # reach the objective, so return it alongside the features —
+            # a wrapper that wants a bare tensor must unpack (loudly),
+            # never silently train an unbalanced router
+            return {"features": feats, **aux} if train else feats
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          kernel_init=tinit.trunc_normal_(std=0.02),
+                          name="head")(feats)
+        return {"logits": logits, **aux} if train else logits
+
+    def optimizer_overrides(self):
+        # stacked expert biases are 2-D [E, h]/[E, d], so the engine's
+        # ndim<=1 one_dim_param_no_weight_decay exemption misses them;
+        # restore bias semantics (dense-block fc biases get wd=0)
+        return [{"name": r"moe/(b1|b2)$", "weight_decay": 0.0}]
 
 
 _VARIANTS = {

@@ -131,6 +131,7 @@ class MoEMlp(nn.Module):
     capacity_factor: float = 1.25
     hidden_features: Optional[int] = None
     act: Callable = nn.gelu
+    drop: float = 0.0               # dropout after act + after combine (Mlp parity)
     aux_weight: float = 0.01        # V-MoE load-balance weight
     z_weight: float = 0.0           # ST-MoE router z-loss (opt-in)
     # routing group size in tokens (GShard "groups"): dispatch/combine
@@ -153,7 +154,20 @@ class MoEMlp(nn.Module):
         t = n * s
         e = self.num_experts
         hidden = self.hidden_features or d
-        if self.group_size and self.group_size < t:
+        if not isinstance(n, int):
+            # symbolic batch dim (jax.export shape polymorphism): sizing
+            # groups needs integer comparisons on n, so pin one image
+            # per group — identical to the native model whenever
+            # group_size < 2·s (the 224px default regime). Global
+            # routing cannot be expressed with a symbolic batch, so
+            # refuse rather than silently change capacity semantics.
+            if not self.group_size:
+                raise ValueError(
+                    "MoEMlp(group_size=0) routes over the global token "
+                    "set, which needs a concrete batch size — export "
+                    "with a fixed batch dim or set group_size")
+            tg = s
+        elif self.group_size and self.group_size < t:
             # group = whole images (largest image count whose tokens fit
             # the target), so the [n,s,d]→[g,tg,d] reshape never splits a
             # sample — it stays a pure local reshape under batch sharding
@@ -181,10 +195,18 @@ class MoEMlp(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (e, d), jnp.float32)
 
         xe = jnp.einsum("gtec,gtd->egcd", dispatch.astype(x.dtype), xt)
-        ye = expert_ffn(xe.reshape(e, g * cap, d), w1.astype(x.dtype), b1,
-                        w2.astype(x.dtype), b2, self.act)
-        ye = ye.reshape(e, g, cap, d)
+        # expert FFN inlined (vs expert_ffn) so hidden dropout mirrors
+        # nn.layers.Mlp's placement: after act, and after the output
+        hq = jnp.einsum("ecd,edh->ech", xe.reshape(e, g * cap, d),
+                        w1.astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        hq = self.act(hq + b1[:, None, :].astype(x.dtype))
+        hq = nn.Dropout(self.drop)(hq, deterministic=deterministic)
+        ye = jnp.einsum("ech,ehd->ecd", hq, w2.astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        ye = (ye + b2[:, None, :].astype(x.dtype)).reshape(e, g, cap, d)
         y = jnp.einsum("gtec,egcd->gtd", combine.astype(x.dtype), ye)
+        y = nn.Dropout(self.drop)(y, deterministic=deterministic)
         gates = gates.reshape(t, e)
         first = first.reshape(t, e)
 
@@ -240,6 +262,15 @@ def make_expert_parallel_mlp(mesh: Mesh, axis_name: str = "ep", *,
     per-source-rank capacity admits every routed token."""
     fn = functools.partial(expert_parallel_ffn, axis_name=axis_name, k=k,
                            capacity=capacity, act=act)
+    p = mesh.shape[axis_name]
+
+    def _check(x, w1):
+        if w1.shape[0] % p != 0:
+            raise ValueError(f"num_experts {w1.shape[0]} must be divisible "
+                             f"by the {axis_name}={p} mesh axis")
+        if x.shape[0] % p != 0:
+            raise ValueError(f"token count {x.shape[0]} must be divisible "
+                             f"by the {axis_name}={p} mesh axis")
 
     @functools.partial(
         shard_map,
@@ -252,4 +283,8 @@ def make_expert_parallel_mlp(mesh: Mesh, axis_name: str = "ep", *,
     def ep_mlp(x, wr, w1, b1, w2, b2):
         return fn(x, wr, w1, b1, w2, b2)
 
-    return ep_mlp
+    def checked(x, wr, w1, b1, w2, b2):
+        _check(x, w1)
+        return ep_mlp(x, wr, w1, b1, w2, b2)
+
+    return checked

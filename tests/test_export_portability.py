@@ -68,6 +68,36 @@ def test_stablehlo_artifact_runs_without_framework(tmp_path):
     assert "PORTABLE_OK" in res.stdout
 
 
+def test_stablehlo_artifact_vmoe(tmp_path):
+    """Routed-expert inference (argmax top-k dispatch, capacity one-hots)
+    also exports to a standalone StableHLO artifact — sparse models are
+    servable with no framework at runtime."""
+    import jax
+    import jax.numpy as jnp
+
+    from passl_tpu.models import build_model
+    from passl_tpu.utils import io
+
+    model = build_model({"name": "VisionTransformerMoE", "img_size": 32,
+                         "patch_size": 8, "embed_dim": 64, "depth": 2,
+                         "num_heads": 2, "num_classes": 10,
+                         "num_experts": 4, "moe_k": 2, "moe_interval": 2})
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        {"params": jax.random.PRNGKey(0)}, x)
+    io.export(model, variables, x, str(tmp_path))
+
+    consumer = tmp_path / "consumer.py"
+    consumer.write_text(CONSUMER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run([sys.executable, str(consumer), str(tmp_path)],
+                         capture_output=True, text=True, timeout=300, env=env,
+                         cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PORTABLE_OK" in res.stdout
+
+
 TF_CONSUMER = textwrap.dedent("""
     # Second-runtime consumer: ONLY tensorflow — no passl_tpu, no jax.
     import sys
