@@ -548,6 +548,63 @@ def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_no
             "vs_baseline": round(per_chip / baseline_per_chip, 3)}
 
 
+def bench_infer_int8():
+    """ViT-B/16 serving throughput: bf16 vs W8A8 int8 (nn/quant.py).
+
+    Deploy row beyond the reference (its predictor serves fp32/fp16,
+    deploy/utils/predictor.py:35-70): v5e runs int8 matmuls at 2x the
+    bf16 MXU peak, so PTQ is a pure-throughput serving dial. Both
+    paths timed on identical inputs with a value-fetch barrier.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from passl_tpu.models import build_model
+    from passl_tpu.nn import quant
+
+    model = build_model({"name": "ViT_base_patch16_224",
+                         "num_classes": 1000, "dtype": jnp.bfloat16})
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng}, x0)
+    batch = 512  # no grads/optimizer: serving batch fits easily
+    rs = np.random.RandomState(0)
+    xb = jnp.asarray(rs.rand(batch, 224, 224, 3) * 2 - 1, jnp.bfloat16)
+
+    def time_fwd(fn, params):
+        step = jax.jit(fn)
+        out = step(params, xb)  # compile + warmup
+        float(jnp.sum(out.astype(jnp.float32)))
+        for _ in range(2):
+            out = step(params, xb)
+        float(jnp.sum(out.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = step(params, xb)
+        float(jnp.sum(out.astype(jnp.float32)))
+        return (time.perf_counter() - t0) / iters
+
+    sec_bf16 = time_fwd(lambda v, x: model.apply(v, x, train=False),
+                        variables)
+    qfwd, qparams = quant.quantize_for_inference(
+        model, variables, xb[:32], act_mode="static", train=False)
+    sec_int8 = time_fwd(qfwd, qparams)
+    dfwd, dparams = quant.quantize_for_inference(
+        model, variables, x0, act_mode="dynamic", train=False)
+    sec_dyn = time_fwd(dfwd, dparams)
+    bf16_ips = batch / sec_bf16
+    int8_ips = batch / sec_int8
+    return {"imgs_per_sec_per_chip": round(int8_ips, 2),
+            "bf16_imgs_per_sec_per_chip": round(bf16_ips, 2),
+            "dynamic_imgs_per_sec_per_chip": round(batch / sec_dyn, 2),
+            "speedup_vs_bf16": round(int8_ips / bf16_ips, 3),
+            "batch": batch}
+
+
 def _emit(state) -> None:
     """Print the ONE stdout JSON line from whatever has been measured."""
     h = state["headline"]
@@ -692,6 +749,11 @@ def main():
                                {"name": "VMoE_base_patch16_224_e8",
                                 "softmax_dtype": "bfloat16"},
                                128, 3583.0 / 8))
+        # int8 W8A8 serving (beyond the reference: its deploy path is
+        # fp32/fp16 only). Reports int8 vs bf16 inference on the same
+        # ViT-B/16 — the v5e int8 MXU is the serving-throughput dial.
+        add("vit_b16_infer_int8", run("vit_b16_infer_int8",
+                                      bench_infer_int8))
     emitted["done"] = True
     _emit(state)
 

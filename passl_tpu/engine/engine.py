@@ -539,7 +539,9 @@ class Engine:
         # Export.formats: ["stablehlo"] (default) and/or ["tf"] — the TF
         # SavedModel is the second serving runtime (reference
         # predictor.py:35-70 paddle-inference vs onnxruntime dispatch)
-        formats = tuple(self.config.get("Export", {}).get("formats", ("stablehlo",)))
+        export_cfg = self.config.get("Export", {})
+        formats = tuple(export_cfg.get("formats", ("stablehlo",)))
         return io.export(self.model, variables, x, self.output_dir,
                          name=self.config.get("Model", {}).get("name", "inference"),
-                         formats=formats)
+                         formats=formats,
+                         quantize=export_cfg.get("quantize", None))

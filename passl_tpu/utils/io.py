@@ -272,7 +272,7 @@ def load_pretrained_into(path: str, params, model_state=None, report=None):
 
 
 def export(model, variables, sample_input, output_dir: str, name: str = "inference",
-           formats=("stablehlo",)):
+           formats=("stablehlo",), quantize=None):
     """Export a serving artifact (reference export: paddle.jit.save /
     onnx, io.py:206-226; serving dispatch predictor.py:35-70 chooses
     paddle-inference OR onnxruntime).
@@ -285,17 +285,33 @@ def export(model, variables, sample_input, output_dir: str, name: str = "inferen
       TF's XlaCallModule and serves from a process that imports only
       tensorflow (no passl_tpu, no jax) — the TPU-world analogue of
       the reference's ONNXRuntime alternative.
+
+    quantize="int8" bakes W8A8 post-training quantization into the
+    artifact (nn/quant.py): Dense weights ship int8 with per-channel
+    scales, activations quantize dynamically in-graph, matmuls hit the
+    MXU's int8 path. Both runtimes serve the quantized graph unchanged.
     """
     from jax import export as jexport
     import jax.numpy as jnp
 
     os.makedirs(output_dir, exist_ok=True)
 
-    def fwd(params, x):
-        return model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
-                           x, train=False)
+    if quantize is None:
+        def fwd(params, x):
+            return model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                               x, train=False)
 
-    params = variables["params"]
+        params = variables["params"]
+    elif quantize == "int8":
+        from ..nn import quant
+
+        # static activation scales calibrated on the full sample batch
+        # (engine.export feeds a real batch from the dataloader)
+        fwd, params = quant.quantize_for_inference(
+            model, variables, sample_input, train=False)
+        logger.info("export: baked int8 W8A8 quantization into the artifact")
+    else:
+        raise ValueError(f"unknown Export.quantize: {quantize!r} (use 'int8')")
     ret = None
     if "stablehlo" in formats:
         # symbolic batch dim so the served artifact accepts any batch size
