@@ -17,10 +17,11 @@ Scheme (the standard LLM/ViT serving recipe):
   - accumulate int32 on the MXU, rescale `y = (x_q @ w_q) * s_x * s_w`
     in f32, add bias, cast back to the model's activation dtype.
 
-Only `flax.linen.Dense` layers are quantized (qkv/proj/mlp/head — the
-dominant FLOPs of every transformer in the zoo). Conv stems, layer
-norms and the attention score/AV einsums stay in the model's compute
-dtype; they are a small FLOP share and the accuracy-sensitive part.
+`flax.linen.Dense` layers (qkv/proj/mlp/head — the dominant FLOPs of
+every transformer in the zoo) and plain 2-D `flax.linen.Conv` layers
+(ResNet bodies, patch-embed stems) are quantized. Layer norms and the
+attention score/AV einsums stay in the model's compute dtype; they are
+a small FLOP share and the accuracy-sensitive part.
 
 No model changes are needed: quantized apply runs the unmodified module
 under `flax.linen.intercept_methods`, replacing each Dense call whose
@@ -73,20 +74,38 @@ def w8a8_dense(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
     return y.astype(out_dtype)
 
 
-def collect_dense_kernel_paths(model, variables, *args,
-                               **apply_kwargs) -> FrozenSet[PathT]:
-    """Abstractly trace one apply and record every nn.Dense kernel path.
+def _conv_is_supported(mod) -> bool:
+    """Only the plain-conv surface the int8 path reimplements exactly:
+    2-D NHWC, no dilation, no mask, no circular padding."""
+    def _trivial(dil):
+        return dil is None or dil == 1 or (
+            hasattr(dil, "__iter__") and all(d == 1 for d in dil))
+
+    return (_trivial(mod.input_dilation) and _trivial(mod.kernel_dilation)
+            and getattr(mod, "mask", None) is None
+            and not (isinstance(mod.padding, str)
+                     and mod.padding.upper() == "CIRCULAR"))
+
+
+def collect_quantizable_paths(model, variables, *args, conv: bool = True,
+                              **apply_kwargs) -> Dict[PathT, str]:
+    """Abstractly trace one apply and record every quantizable kernel:
+    {kernel_path: "dense" | "conv"}.
 
     Runs under jax.eval_shape, so no FLOPs execute and no backend is
     required; the interceptor's side effect (path recording) happens at
     trace time.
     """
-    paths = []
+    paths: Dict[PathT, str] = {}
 
     def recorder(next_fn, fargs, fkwargs, context):
         mod = context.module
-        if type(mod) is nn.Dense and context.method_name == "__call__":
-            paths.append(tuple(mod.path) + ("kernel",))
+        if context.method_name == "__call__":
+            if type(mod) is nn.Dense:
+                paths[tuple(mod.path) + ("kernel",)] = "dense"
+            elif conv and type(mod) is nn.Conv and fargs[0].ndim == 4 \
+                    and _conv_is_supported(mod):
+                paths[tuple(mod.path) + ("kernel",)] = "conv"
         return next_fn(*fargs, **fkwargs)
 
     def run(v, a):
@@ -94,14 +113,23 @@ def collect_dense_kernel_paths(model, variables, *args,
             return model.apply(v, *a, **apply_kwargs)
 
     jax.eval_shape(run, variables, args)
-    return frozenset(paths)
+    return paths
 
 
-def calibrate_act_scales(model, variables, calib_x, dense_paths,
+def collect_dense_kernel_paths(model, variables, *args,
+                               **apply_kwargs) -> FrozenSet[PathT]:
+    """Dense-only view of collect_quantizable_paths."""
+    return frozenset(
+        k for k, kind in collect_quantizable_paths(
+            model, variables, *args, conv=False, **apply_kwargs).items()
+        if kind == "dense")
+
+
+def calibrate_act_scales(model, variables, calib_x, paths,
                          margin: float = 1.0, **apply_kwargs):
     """Run one real forward over a calibration batch, recording the
-    abs-max input each Dense layer sees. Returns {kernel_path: scalar
-    f32 scale} for static per-tensor activation quantization.
+    abs-max input each quantized layer sees. Returns {kernel_path:
+    scalar f32 scale} for static per-tensor activation quantization.
 
     margin > 1 leaves clip headroom for activations beyond the
     calibration batch's range (abs-max calibration, the simplest and
@@ -111,9 +139,10 @@ def calibrate_act_scales(model, variables, calib_x, dense_paths,
 
     def recorder(next_fn, fargs, fkwargs, context):
         mod = context.module
-        if type(mod) is nn.Dense and context.method_name == "__call__":
+        if type(mod) in (nn.Dense, nn.Conv) \
+                and context.method_name == "__call__":
             k = tuple(mod.path) + ("kernel",)
-            if k in dense_paths:
+            if k in paths:
                 m = jnp.max(jnp.abs(fargs[0].astype(jnp.float32)))
                 maxes[k] = jnp.maximum(maxes[k], m) if k in maxes else m
         return next_fn(*fargs, **fkwargs)
@@ -124,22 +153,27 @@ def calibrate_act_scales(model, variables, calib_x, dense_paths,
             for k, m in maxes.items()}
 
 
-def quantize_dense_params(params, dense_paths: FrozenSet[PathT],
-                          act_scales=None):
-    """Replace each Dense `kernel` leaf with int8 `kernel_q` + f32
-    `kernel_scale` (+ a calibrated scalar `act_scale` when static
-    activation quantization is requested). All other leaves (biases,
-    norms, convs, non-Dense 2-D params) pass through untouched."""
+def quantize_dense_params(params, paths, act_scales=None):
+    """Replace each quantizable `kernel` leaf with int8 `kernel_q` +
+    per-output-channel f32 `kernel_scale` (+ a calibrated scalar
+    `act_scale` when static activation quantization is requested).
+    `paths` is the kind map from collect_quantizable_paths (a plain
+    set/frozenset of Dense paths also works). All other leaves
+    (biases, norms, unlisted 2-D params) pass through untouched."""
+    kinds = paths if isinstance(paths, dict) else {k: "dense" for k in paths}
     flat = traverse_util.flatten_dict(params)
     qflat: Dict[PathT, Any] = {}
     n_q = 0
     for k, v in flat.items():
         k = tuple(k)
-        if k in dense_paths:
-            if v.ndim != 2:  # Dense kernels are always [d_in, d_out]
-                raise ValueError(f"Dense kernel at {k} has ndim={v.ndim}")
+        if k in kinds:
+            want = 2 if kinds[k] == "dense" else 4
+            if v.ndim != want:  # Dense [din,dout]; Conv [kh,kw,cin,cout]
+                raise ValueError(f"{kinds[k]} kernel at {k} has ndim={v.ndim}")
             w = jnp.asarray(v, jnp.float32)
-            scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+            reduce_axes = tuple(range(v.ndim - 1))
+            scale = jnp.maximum(jnp.max(jnp.abs(w), axis=reduce_axes),
+                                1e-8) / 127.0
             w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
             qflat[k[:-1] + ("kernel_q",)] = w_q
             qflat[k[:-1] + ("kernel_scale",)] = scale
@@ -150,56 +184,105 @@ def quantize_dense_params(params, dense_paths: FrozenSet[PathT],
         else:
             qflat[k] = v
     if n_q == 0:
-        raise ValueError("no Dense kernels found to quantize")
+        raise ValueError("no quantizable kernels found")
     return traverse_util.unflatten_dict(qflat)
 
 
+def _canon_conv_padding(padding, nd: int):
+    if isinstance(padding, str):
+        return padding
+    if isinstance(padding, int):
+        return [(padding, padding)] * nd
+    out = []
+    for p in padding:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return out
+
+
+def w8a8_conv(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
+              bias, mod, out_dtype, act_scale=None) -> jax.Array:
+    """int8 NHWC conv with f32 rescale (the conv analogue of
+    w8a8_dense). Zero-padding is exact under symmetric quantization
+    (0 maps to 0), so padding-then-quantizing == quantizing-then-
+    padding. Dynamic mode uses a per-sample scale (each output row
+    depends on one input image only, so per-sample scaling is exact
+    linearity, like per-token for Dense)."""
+    nd = kernel_q.ndim - 2
+    xf = x.astype(jnp.float32)
+    if act_scale is None:
+        s_x = jnp.max(jnp.abs(xf), axis=tuple(range(1, x.ndim)),
+                      keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-8)
+    else:
+        s_x = act_scale.astype(jnp.float32)
+    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    strides = mod.strides if mod.strides is not None else 1
+    if isinstance(strides, int):
+        strides = (strides,) * nd
+    acc = jax.lax.conv_general_dilated(
+        x_q, kernel_q, tuple(strides),
+        _canon_conv_padding(mod.padding, nd),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=mod.feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s_x * kernel_scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def quant_interceptor(next_fn, args, kwargs, context):
-    """flax method interceptor: swap Dense calls onto the int8 path
-    when the bound params carry quantized weights."""
+    """flax method interceptor: swap Dense/Conv calls onto the int8
+    path when the bound params carry quantized weights."""
     mod = context.module
-    if type(mod) is nn.Dense and context.method_name == "__call__":
+    if context.method_name == "__call__" and type(mod) in (nn.Dense, nn.Conv):
         p = mod.variables.get("params", {})
         if "kernel_q" in p:
             (x,) = args
             bias = p.get("bias") if mod.use_bias else None
             out_dtype = mod.dtype if mod.dtype is not None else x.dtype
-            return w8a8_dense(x, p["kernel_q"], p["kernel_scale"],
-                              bias, out_dtype,
-                              act_scale=p.get("act_scale"))
+            if type(mod) is nn.Dense:
+                return w8a8_dense(x, p["kernel_q"], p["kernel_scale"],
+                                  bias, out_dtype,
+                                  act_scale=p.get("act_scale"))
+            return w8a8_conv(x, p["kernel_q"], p["kernel_scale"],
+                             bias, mod, out_dtype,
+                             act_scale=p.get("act_scale"))
     return next_fn(*args, **kwargs)
 
 
 def quantize_for_inference(model, variables, *sample_args,
-                           act_mode: str = "static",
+                           act_mode: str = "static", conv: bool = True,
                            **apply_kwargs) -> Tuple[Callable, Any]:
     """Build the int8 serving pair for an unmodified flax model.
 
     Returns (qfwd, qparams): `qfwd(qparams, x)` runs inference with all
-    Dense layers on the int8 MXU path. `sample_args`/`apply_kwargs`
-    must match how the model will be called (e.g. `train=False`).
+    Dense (and, by default, 2-D Conv) layers on the int8 MXU path.
+    `sample_args`/`apply_kwargs` must match how the model will be
+    called (e.g. `train=False`).
 
     act_mode:
       - "static" (default): per-tensor activation scales calibrated by
         one forward over `sample_args[0]` (abs-max). Fastest — the
         quantize step is a single fused elementwise pass. Calibrate
         with representative data for accuracy-sensitive serving.
-      - "dynamic": per-token scales computed in-graph. No calibration
-        data needed and robust to range drift, at the cost of an extra
-        abs-max reduce pass per Dense layer.
+      - "dynamic": per-token (Dense) / per-sample (Conv) scales
+        computed in-graph. No calibration data needed and robust to
+        range drift, at the cost of an extra abs-max reduce pass per
+        quantized layer.
     """
     if act_mode not in ("static", "dynamic"):
         raise ValueError(f"act_mode must be static|dynamic, got {act_mode!r}")
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
-    dense_paths = collect_dense_kernel_paths(
-        model, variables, *sample_args, **apply_kwargs)
+    paths = collect_quantizable_paths(
+        model, variables, *sample_args, conv=conv, **apply_kwargs)
     act_scales = None
     if act_mode == "static":
         act_scales = calibrate_act_scales(
-            model, variables, sample_args[0], dense_paths, **apply_kwargs)
-    qparams = quantize_dense_params(params, dense_paths,
-                                    act_scales=act_scales)
+            model, variables, sample_args[0], paths, **apply_kwargs)
+    qparams = quantize_dense_params(params, paths, act_scales=act_scales)
 
     def qfwd(p, x):
         with nn.intercept_methods(quant_interceptor):

@@ -67,12 +67,11 @@ def test_vit_quantized_logits_match_f32(act_mode, cos_bar):
     assert cos > cos_bar, (act_mode, cos)
     assert (ref.argmax(-1) == got.argmax(-1)).mean() >= 0.875
     assert np.isfinite(got).all()
-    # static mode ships one calibrated scalar per Dense layer
-    from flax import traverse_util
-
+    # static mode ships one calibrated scalar per quantized layer
+    # (9 Dense + the patch-embed Conv)
     n_scales = sum(1 for k in traverse_util.flatten_dict(qparams)
                    if k[-1] == "act_scale")
-    assert n_scales == (9 if act_mode == "static" else 0)
+    assert n_scales == (10 if act_mode == "static" else 0)
 
 
 def test_static_calibration_covers_unseen_batch():
@@ -125,6 +124,65 @@ def test_only_dense_kernels_quantized():
         w_q = np.asarray(qflat[k[:-1] + ("kernel_q",)], np.float32)
         s = np.asarray(qflat[k[:-1] + ("kernel_scale",)], np.float32)
         np.testing.assert_allclose(w_q * s, w, atol=np.abs(w).max() / 120)
+
+
+def test_w8a8_conv_matches_integer_reference():
+    """The int8 conv accumulates exactly like an f32 conv over the
+    same quantized operands (int32 accumulation is exact for these
+    magnitudes), including stride + int padding + rescale + bias."""
+    import flax.linen as nn
+
+    r = np.random.RandomState(1)
+    x = r.randn(2, 9, 9, 5).astype(np.float32)
+    conv = nn.Conv(7, (3, 3), strides=(2, 2), padding=1, dtype=jnp.float32)
+    variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    w = np.asarray(variables["params"]["kernel"])
+    b = np.asarray(variables["params"]["bias"])
+
+    s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
+    w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    s_x = np.maximum(np.abs(x).max(axis=(1, 2, 3), keepdims=True),
+                     127e-8) / 127.0
+    x_q = np.clip(np.round(x / s_x), -127, 127).astype(np.int8)
+    # f32 conv over the quantized operands == exact int accumulation
+    acc = jax.lax.conv_general_dilated(
+        jnp.asarray(x_q, jnp.float32), jnp.asarray(w_q, jnp.float32),
+        (2, 2), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(acc) * s_x * s_w + b
+
+    got = quant.w8a8_conv(jnp.asarray(x), jnp.asarray(w_q),
+                          jnp.asarray(s_w), jnp.asarray(b), conv,
+                          jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_quantized_logits_match_f32():
+    """Conv quantization end-to-end on a small ResNet (BN in inference
+    mode, strided convs, downsample branches)."""
+    model = build_model({"name": "resnet18", "num_classes": 10})
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 3), (4, 32, 32, 3))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        {"params": rng}, x)
+    ref = np.asarray(model.apply(variables, x, train=False))
+
+    qfwd, qparams = quant.quantize_for_inference(model, variables, x,
+                                                 act_mode="dynamic",
+                                                 train=False)
+    got = np.asarray(jax.jit(qfwd)(qparams, x))
+    cos = float((ref * got).sum()
+                / (np.linalg.norm(ref) * np.linalg.norm(got)))
+    assert cos > 0.99, cos
+    n_int8 = sum(1 for v in traverse_util.flatten_dict(qparams).values()
+                 if v.dtype == jnp.int8)
+    assert n_int8 >= 20  # every conv + the head
+
+    # conv=False leaves convs alone: only the head Dense quantizes
+    _, qp2 = quant.quantize_for_inference(model, variables, x,
+                                          conv=False, train=False)
+    n2 = sum(1 for v in traverse_util.flatten_dict(qp2).values()
+             if v.dtype == jnp.int8)
+    assert n2 == 1
 
 
 def test_unknown_quantize_mode_raises(tmp_path):
