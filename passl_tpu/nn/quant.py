@@ -23,6 +23,16 @@ every transformer in the zoo) and plain 2-D `flax.linen.Conv` layers
 attention score/AV einsums stay in the model's compute dtype; they are
 a small FLOP share and the accuracy-sensitive part.
 
+Measured on-chip (v5e, bs512 inference, fetch-synced):
+  - ViT-B/16: static 2148.8 imgs/s vs bf16 1900.4 = 1.13x; dynamic
+    1819.1 = 0.96x (per-token abs-max reduce costs more than the int8
+    MXU saves at d=768). Logits cosine vs f32 > 0.995.
+  - ResNet50 (conv path): static 13095.5 vs bf16 11818.6 = 1.11x,
+    cosine 0.99982; dynamic 8837.1 = 0.75x — a measured NEGATIVE: the
+    per-sample abs-max over H*W*C activations is pure VPU/HBM work
+    re-run before all 53 convs and swamps the MXU saving. Use static
+    (the default) for convnets.
+
 No model changes are needed: quantized apply runs the unmodified module
 under `flax.linen.intercept_methods`, replacing each Dense call whose
 params carry `kernel_q`/`kernel_scale` with the int8 path. Dense

@@ -287,9 +287,12 @@ def export(model, variables, sample_input, output_dir: str, name: str = "inferen
       the reference's ONNXRuntime alternative.
 
     quantize="int8" bakes W8A8 post-training quantization into the
-    artifact (nn/quant.py): Dense weights ship int8 with per-channel
-    scales, activations quantize dynamically in-graph, matmuls hit the
-    MXU's int8 path. Both runtimes serve the quantized graph unchanged.
+    artifact (nn/quant.py): Dense and plain 2-D Conv weights ship int8
+    with per-channel scales, activation scales are calibrated
+    statically on the sample batch (engine.export feeds a real loader
+    batch), matmuls/convs hit the MXU's int8 path. Both runtimes serve
+    the quantized graph unchanged. Measured: ViT-B 1.13x, R50 1.11x
+    vs bf16 on-chip.
     """
     from jax import export as jexport
     import jax.numpy as jnp
