@@ -549,12 +549,17 @@ def _bench_classifier(model_cfg, per_chip_batch, baseline_per_chip, grad_clip_no
 
 
 def bench_infer_int8():
-    """ViT-B/16 serving throughput: bf16 vs W8A8 int8 (nn/quant.py).
+    """ViT-B/16 + ResNet50 serving throughput: bf16 vs W8A8 int8.
 
     Deploy row beyond the reference (its predictor serves fp32/fp16,
     deploy/utils/predictor.py:35-70): v5e runs int8 matmuls at 2x the
-    bf16 MXU peak, so PTQ is a pure-throughput serving dial. Both
-    paths timed on identical inputs with a value-fetch barrier.
+    bf16 MXU peak, so PTQ is a pure-throughput serving dial. ViT
+    exercises the Dense path, R50 the conv path (nn/quant.py
+    w8a8_conv); both paths timed on identical inputs with a
+    value-fetch barrier. Static (calibrated) activation scales — the
+    export default; the dynamic-mode numbers live in
+    docs/benchmarks.md (per-token 0.96x on ViT, per-sample 0.75x on
+    R50: documented negatives, not re-measured here).
     """
     import functools
 
@@ -564,13 +569,9 @@ def bench_infer_int8():
     from passl_tpu.models import build_model
     from passl_tpu.nn import quant
 
-    model = build_model({"name": "ViT_base_patch16_224",
-                         "num_classes": 1000, "dtype": jnp.bfloat16})
+    batch = 512  # no grads/optimizer: serving batch fits easily
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
-    variables = jax.jit(functools.partial(model.init, train=False))(
-        {"params": rng}, x0)
-    batch = 512  # no grads/optimizer: serving batch fits easily
     rs = np.random.RandomState(0)
     xb = jnp.asarray(rs.rand(batch, 224, 224, 3) * 2 - 1, jnp.bfloat16)
 
@@ -588,20 +589,26 @@ def bench_infer_int8():
         float(jnp.sum(out.astype(jnp.float32)))
         return (time.perf_counter() - t0) / iters
 
-    sec_bf16 = time_fwd(lambda v, x: model.apply(v, x, train=False),
-                        variables)
-    qfwd, qparams = quant.quantize_for_inference(
-        model, variables, xb[:32], act_mode="static", train=False)
-    sec_int8 = time_fwd(qfwd, qparams)
-    dfwd, dparams = quant.quantize_for_inference(
-        model, variables, x0, act_mode="dynamic", train=False)
-    sec_dyn = time_fwd(dfwd, dparams)
-    bf16_ips = batch / sec_bf16
-    int8_ips = batch / sec_int8
+    def ab(name):
+        model = build_model({"name": name, "num_classes": 1000,
+                             "dtype": jnp.bfloat16})
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            {"params": rng}, x0)
+        sec_bf16 = time_fwd(lambda v, x: model.apply(v, x, train=False),
+                            variables)
+        qfwd, qparams = quant.quantize_for_inference(
+            model, variables, xb[:32], act_mode="static", train=False)
+        sec_int8 = time_fwd(qfwd, qparams)
+        return batch / sec_bf16, batch / sec_int8
+
+    bf16_ips, int8_ips = ab("ViT_base_patch16_224")
+    r50_bf16, r50_int8 = ab("resnet50")
     return {"imgs_per_sec_per_chip": round(int8_ips, 2),
             "bf16_imgs_per_sec_per_chip": round(bf16_ips, 2),
-            "dynamic_imgs_per_sec_per_chip": round(batch / sec_dyn, 2),
             "speedup_vs_bf16": round(int8_ips / bf16_ips, 3),
+            "r50_imgs_per_sec_per_chip": round(r50_int8, 2),
+            "r50_bf16_imgs_per_sec_per_chip": round(r50_bf16, 2),
+            "r50_speedup_vs_bf16": round(r50_int8 / r50_bf16, 3),
             "batch": batch}
 
 
