@@ -1,12 +1,21 @@
 """Benchmark suite: flagship throughput numbers on the attached chips.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints ONE COMPACT JSON line as the LAST stdout line:
+{"metric", "value", "unit", "vs_baseline", "extra"} where `extra.rows`
+maps abbreviated row names to [ips/chip, mfu, vs_baseline] triples.
+The line is kept under _COMPACT_BUDGET (1.5 KB) so it survives a
+bounded last-N-bytes tail capture of stdout (the round-4 artifact was
+rc=0 but unparseable because the previous 10 KB single line got its
+head truncated — BENCH_r04.json `parsed: null`). The FULL verbose
+result (every per-row key) goes to stderr and to BENCH_LOCAL.json next
+to this file; tests/test_bench_contract.py asserts the size budget.
+
 The headline metric is SimCLR ResNet-50 two-view pretrain imgs/s/chip
 (BASELINE.json's metric; reference per-chip A100 two-view R50 CI rate =
-1969.93/8 = 246.2 imgs/s, BASELINE.md). `extra` carries the secondary
-benches — ViT-B/16 224 bf16 classification train step (reference
-flagship: 3583 imgs/s on 8xA100 = 447.9/chip, tasks/classification/vit/
-README.md:75) with measured MFU from XLA's own cost analysis.
+1969.93/8 = 246.2 imgs/s, BASELINE.md). Rows cover ViT-B/16 224 bf16
+classification (reference flagship: 3583 imgs/s on 8xA100 = 447.9/chip,
+tasks/classification/vit/README.md:75) and 14 more, each with measured
+MFU from XLA's own cost analysis.
 
 Timing synchronizes via a literal value fetch (float()) — on the
 tunneled test platform block_until_ready returns before execution
@@ -560,6 +569,10 @@ def bench_infer_int8():
     export default; the dynamic-mode numbers live in
     docs/benchmarks.md (per-token 0.96x on ViT, per-sample 0.75x on
     R50: documented negatives, not re-measured here).
+
+    Calibration here uses xb[:32] which is uniform noise — fine for
+    TIMING, but fidelity (cosine > 0.995) claims come from
+    tests/test_quant.py with structured inputs, not from this bench.
     """
     import functools
 
@@ -612,17 +625,73 @@ def bench_infer_int8():
             "batch": batch}
 
 
-def _emit(state) -> None:
-    """Print the ONE stdout JSON line from whatever has been measured."""
+# Abbreviated row names for the compact stdout line. Full names stay in
+# the verbose artifact (stderr + BENCH_LOCAL.json).
+_ROW_ABBREV = {
+    "vit_b16_224": "vit", "mae_b16_pt": "mae", "swin_b": "swin",
+    "convnext_b": "cnxt", "deit_b": "deit", "cait_s24": "cait",
+    "vit_b16_384": "v384", "vit_l16_384": "l384", "swav_r50_pt": "swav",
+    "cae_b16_pt": "cae", "mocov3_b16_pt": "mv3", "mae_ft": "maef",
+    "simclr_r50_ghostbn": "gbn", "vmoe_b16_e8": "vmoe",
+    "vit_b16_infer_int8": "int8",
+}
+_COMPACT_BUDGET = 1500  # bytes; must survive a bounded stdout tail capture
+
+
+def _compact_line(state) -> str:
+    """The one stdout line: headline + per-row [ips, mfu, vs_base] only.
+
+    Stays under _COMPACT_BUDGET by construction (abbreviated keys, three
+    numbers per row, error names without tracebacks) and degrades
+    gracefully if it ever would not: drop legend, then error names."""
     h = state["headline"]
-    extra = dict(state["extra"])
+    rows = {}
+    for prefix, r in state["rows"].items():
+        ab = _ROW_ABBREV.get(prefix, prefix[:6])
+        if prefix == "vit_b16_infer_int8":
+            rows[ab] = [r.get("imgs_per_sec_per_chip"),
+                        r.get("speedup_vs_bf16"), r.get("r50_speedup_vs_bf16")]
+        else:
+            rows[ab] = [r.get("imgs_per_sec_per_chip"), r.get("mfu"),
+                        r.get("vs_baseline")]
+    extra = {"rows": rows,
+             "legend": "rows:[ips/chip,mfu,vs_base]; int8:[ips,x_bf16,r50_x]"}
+    if h:
+        extra["mfu"] = h["mfu"]
+    if state["errors"]:
+        extra["err"] = sorted(state["errors"])
+    if state.get("note"):
+        extra["note"] = state["note"][:120]
+    payload = {
+        "metric": "simclr_r50_pretrain_imgs_per_sec_per_chip",
+        "value": h["imgs_per_sec_per_chip"] if h else None,
+        "unit": "imgs/s/chip (224px two-view, bf16)",
+        "vs_baseline": h["vs_baseline"] if h else None,
+        "extra": extra,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _COMPACT_BUDGET:  # degrade, never truncate mid-JSON
+        extra.pop("legend", None)
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _COMPACT_BUDGET and "err" in extra:
+        extra["err"] = [e[:12] for e in extra["err"][:8]]
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
+def _verbose_payload(state) -> dict:
+    """Full result in the historical flattened-extra shape (BENCH_r01-r03)."""
+    h = state["headline"]
+    extra = {}
+    for prefix, r in state["rows"].items():
+        extra.update({f"{prefix}_{k}": v for k, v in r.items()})
     if h:
         extra["simclr_r50_mfu"] = h["mfu"]
     if state["errors"]:
         extra["errors"] = state["errors"]
     if state.get("note"):
         extra["note"] = state["note"]
-    print(json.dumps({
+    return {
         "metric": "simclr_r50_pretrain_imgs_per_sec_per_chip",
         "value": h["imgs_per_sec_per_chip"] if h else None,
         "unit": ("imgs/s/chip (224px two-view, bf16, global bs %d, %d chips)"
@@ -630,7 +699,34 @@ def _emit(state) -> None:
                  else "imgs/s/chip (224px two-view, bf16)"),
         "vs_baseline": h["vs_baseline"] if h else None,
         "extra": extra,
-    }), flush=True)
+    }
+
+
+def _emit(state) -> None:
+    """Verbose table -> stderr + BENCH_LOCAL.json; compact line -> stdout.
+
+    The compact line is the LAST stdout write so a bounded tail capture
+    always sees a complete JSON object with the headline in it."""
+    verbose = _verbose_payload(state)
+    print(json.dumps(verbose, indent=1), file=sys.stderr, flush=True)
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+        with open(local, "w") as f:
+            json.dump(verbose, f, indent=1)
+    except OSError as e:
+        _log(f"BENCH_LOCAL.json write failed (non-fatal): {e}")
+    line = _compact_line(state)
+    if len(line) > _COMPACT_BUDGET:  # last resort: headline only, never crash
+        h = state["headline"]
+        line = json.dumps({
+            "metric": "simclr_r50_pretrain_imgs_per_sec_per_chip",
+            "value": h["imgs_per_sec_per_chip"] if h else None,
+            "unit": "imgs/s/chip (224px two-view, bf16)",
+            "vs_baseline": h["vs_baseline"] if h else None,
+            "extra": {"note": "rows in BENCH_LOCAL.json (compact overflow)"},
+        }, separators=(",", ":"))
+    print(line, flush=True)
 
 
 def _full_rows() -> bool:
@@ -645,7 +741,7 @@ def _full_rows() -> bool:
 
 
 def main():
-    state = {"headline": None, "extra": {}, "errors": {}}
+    state = {"headline": None, "rows": {}, "errors": {}}
     emitted = {"done": False}
 
     def _flush_and_exit(signum, frame):  # partial results survive a kill
@@ -684,7 +780,7 @@ def main():
 
     def add(prefix, r):
         if r:
-            state["extra"].update({f"{prefix}_{k}": v for k, v in r.items()})
+            state["rows"][prefix] = r
 
     # headline first: a mid-run kill still flushes it via the handler
     state["headline"] = run("simclr_r50", bench_simclr_r50)

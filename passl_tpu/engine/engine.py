@@ -532,14 +532,21 @@ class Engine:
                 "(passl_tpu.tools.extract_weights) and export a "
                 "Classification/LinearProbe config over it."
             )
-        sample = self._sample_batch()
-        x = sample[0] if isinstance(sample, (tuple, list)) else sample
-        x = jnp.asarray(np.asarray(x)[:1])
-        variables = {"params": self.state.params, **self.state.model_state}
         # Export.formats: ["stablehlo"] (default) and/or ["tf"] — the TF
         # SavedModel is the second serving runtime (reference
         # predictor.py:35-70 paddle-inference vs onnxruntime dispatch)
         export_cfg = self.config.get("Export", {})
+        sample = self._sample_batch()
+        x = sample[0] if isinstance(sample, (tuple, list)) else sample
+        # The exported shape spec is batch-polymorphic, so the slice size
+        # only matters for int8 PTQ: static activation scales are per-tensor
+        # abs-max over this batch, and a single image underestimates the
+        # range (the fidelity numbers in tests/test_quant.py use 32-sample
+        # calibration). Keep up to 32 real loader samples when quantizing;
+        # one suffices for the pure shape-spec path.
+        n_calib = 32 if export_cfg.get("quantize") else 1
+        x = jnp.asarray(np.asarray(x)[:n_calib])
+        variables = {"params": self.state.params, **self.state.model_state}
         formats = tuple(export_cfg.get("formats", ("stablehlo",)))
         return io.export(self.model, variables, x, self.output_dir,
                          name=self.config.get("Model", {}).get("name", "inference"),

@@ -6,8 +6,12 @@ from logs). Here each case runs N steps of the real Engine on
 synthetic data with pinned seeds and asserts:
   - loss@stepN matches the per-platform golden (rtol 1e-4; XLA is
     run-to-run deterministic on a fixed platform)
-  - ips within -20% of the golden (looser than the reference's ±5%
-    would flake on shared rigs; tune per deployment)
+  - ips within -10% of the golden, CONTENTION-TOLERANT: a miss gets one
+    timing retry, and still-missing only fails when the host looks
+    quiet (load heuristic) — otherwise it reports "inconclusive". The
+    reference's ±5% gate (case.sh:476-516) assumes a dedicated node;
+    this rig's single host core is shared, and a concurrent suite was
+    observed to halve measured ips with the loss bit-exact.
 
 Usage:
   python tests/ci/run_ci.py                # check against goldens
@@ -176,6 +180,57 @@ def run_case(name: str, spec: dict) -> dict:
             "wall_s": round(wall, 1)}
 
 
+def _host_load1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # platform without getloadavg
+        return 0.0
+
+
+def _host_contended(load1: float | None = None) -> tuple[bool, float]:
+    """Heuristic: is something ELSE eating this host's CPU?
+
+    Our own just-finished case drives the 1-min load toward ~1 process;
+    a concurrent suite (the observed failure mode: a pytest run held
+    the single host core and halved measured ips, 402 vs golden 822 —
+    loss stayed bit-exact) pushes it well past ncpu. Threshold
+    0.6*ncpu + 1.0 keeps "just us" below and "us + a contender" above
+    on a 1-core rig; it is a heuristic, so it gates only the REPORTING
+    (fail vs inconclusive), never the loss check.
+    """
+    if load1 is None:
+        load1 = _host_load1()
+    ncpu = os.cpu_count() or 1
+    return load1 > 0.6 * ncpu + 1.0, load1
+
+
+def ips_verdict(name: str, golden_ips: float, budget: float,
+                first_ips: float, retry_ips: float | None,
+                contended: bool, load1: float) -> tuple[str, str]:
+    """Pure decision logic for the real-device ips gate (unit-tested).
+
+    Returns (verdict, message) where verdict is one of
+    'pass' | 'inconclusive' | 'fail'. A measurement below budget only
+    FAILS if a retry also misses AND the host looks quiet — rig
+    contention is not a regression (reference case.sh's ±5% gate
+    assumes a dedicated node; this rig does not have one).
+    """
+    floor = golden_ips * budget
+    if first_ips >= floor:
+        return "pass", ""
+    if retry_ips is not None and retry_ips >= floor:
+        return "pass", (f"{name}: ips {first_ips} recovered to {retry_ips} "
+                        f"on retry (transient; golden {golden_ips})")
+    shown = first_ips if retry_ips is None else f"{first_ips} then {retry_ips} on retry"
+    if contended:
+        return "inconclusive", (
+            f"{name}: ips {shown} < {budget:.0%} of golden {golden_ips} but "
+            f"host is contended (load1={load1:.1f}) — inconclusive, "
+            f"re-run on a quiet host")
+    return "fail", (f"{name}: ips {shown} < {budget:.0%} of golden "
+                    f"{golden_ips} (host quiet, load1={load1:.1f})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
@@ -207,7 +262,7 @@ def main():
             goldens = json.load(f)
 
     cases = {args.case: CASES[args.case]} if args.case else CASES
-    results, failures = {}, []
+    results, failures, ips_suspects = {}, [], []
     for name, spec in cases.items():
         print(f"[CI] running {name} ...", flush=True)
         r = run_case(name, spec)
@@ -226,7 +281,34 @@ def main():
         implied_ms = 1000.0 * _global_batch(spec) / max(g["ips"], 1e-9)
         if platform != "cpu" and implied_ms >= 50.0 \
                 and r["ips"] < g["ips"] * args.ips_budget:
-            failures.append(f"{name}: ips {r['ips']} < {args.ips_budget:.0%} of golden {g['ips']}")
+            ips_suspects.append((name, spec, g, r))
+
+    # Contention-tolerant ips pass: a below-budget rate gets ONE timing
+    # retry (compile cache makes it cheap; loss determinism was already
+    # checked above) and only fails if the retry also misses on a quiet
+    # host. Observed live (round-4 review): a concurrent pytest run
+    # false-failed mocov2_r18 at 402 vs golden 822 ips; the clean rerun
+    # hit 1024.8 with the loss bit-exact both times.
+    inconclusive = []
+    for name, spec, g, r in ips_suspects:
+        contended, load1 = _host_contended()
+        print(f"[CI] {name}: ips {r['ips']} below budget "
+              f"(load1={load1:.1f}{', contended' if contended else ''}); "
+              "re-measuring once ...", flush=True)
+        try:
+            r2 = run_case(name, spec)
+        except Exception as e:  # noqa: BLE001 — retry must not mask the signal
+            r2 = None
+            print(f"[CI] {name}: ips retry errored ({e}); judging first run only")
+        contended, load1 = _host_contended()
+        verdict, msg = ips_verdict(name, g["ips"], args.ips_budget, r["ips"],
+                                   r2["ips"] if r2 else None, contended, load1)
+        if verdict == "fail":
+            failures.append(msg)
+        elif verdict == "inconclusive":
+            inconclusive.append(msg)
+        if msg:
+            print(f"[CI] {msg}", flush=True)
 
     if args.update:
         goldens.update(results)
@@ -238,10 +320,13 @@ def main():
     if missing:
         print(f"[CI] WARNING: no goldens for {missing} on platform {platform} "
               f"(run with --update)")
+    if inconclusive:
+        print("[CI] INCONCLUSIVE (not failures):\n  " + "\n  ".join(inconclusive))
     if failures:
         print("[CI] FAILURES:\n  " + "\n  ".join(failures))
         return 1
-    print(f"[CI] all {len(cases)} cases passed on {platform}")
+    print(f"[CI] all {len(cases)} cases passed on {platform}"
+          + (f" ({len(inconclusive)} ips checks inconclusive)" if inconclusive else ""))
     return 0
 
 
