@@ -33,6 +33,7 @@ def pipeline_apply(
     stage_fn: Callable,
     mesh: Mesh,
     axis: str = "pp",
+    data_axes=None,
 ):
     """Build `fn(stacked_params, microbatches) -> outputs`.
 
@@ -40,6 +41,12 @@ def pipeline_apply(
     `stacked_params` is a pytree whose leaves have a leading axis of
     size S (the pp degree) — leaf i holds stage i's params.
     `microbatches` is [M, mb, ...]; output matches.
+
+    `data_axes` (e.g. `dist.DATA_AXES`) shards the SAMPLE dim (dim 1 of
+    [M, mb, ...]) so the schedule composes with data parallelism: each
+    dp replica pipelines its own microbatch slice, XLA reduces grads
+    over dp as usual. None keeps the input replicated (microbenchmark
+    mode, the original behavior).
     """
     S = mesh.shape[axis]
     perm = [(i, (i + 1) % S) for i in range(S)]
@@ -78,8 +85,9 @@ def pipeline_apply(
         # the P() out_spec holds (every other stage's buffer is zeros)
         return jax.lax.psum(out, axis)
 
-    in_specs = (P(axis), P())   # params sharded by stage; input replicated
-    out_specs = P()
+    xspec = P(None, data_axes) if data_axes is not None else P()
+    in_specs = (P(axis), xspec)  # params sharded by stage
+    out_specs = xspec
 
     from jax import shard_map
 
@@ -99,7 +107,8 @@ def stack_stage_params(layer_params_list, num_stages: int):
         lambda x: x.reshape(num_stages, per, *x.shape[1:]), stacked)
 
 
-def make_pipelined_blocks(block_apply: Callable, mesh: Mesh, axis: str = "pp"):
+def make_pipelined_blocks(block_apply: Callable, mesh: Mesh, axis: str = "pp",
+                          data_axes=None):
     """Pipeline a homogeneous residual-block stack.
 
     block_apply(single_layer_params, x) -> x. Each stage scans its local
@@ -114,4 +123,4 @@ def make_pipelined_blocks(block_apply: Callable, mesh: Mesh, axis: str = "pp"):
         x, _ = jax.lax.scan(body, x, stage_params)
         return x
 
-    return pipeline_apply(stage_fn, mesh, axis=axis)
+    return pipeline_apply(stage_fn, mesh, axis=axis, data_axes=data_axes)

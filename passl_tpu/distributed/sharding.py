@@ -110,6 +110,33 @@ def partition_params(
     return traverse_util.unflatten_dict(out, sep="/")
 
 
+def pipeline_state_shardings(state, mesh: Mesh, pp: int):
+    """Place a pipelined model's stacked block params on the pp axis.
+
+    A pipeline model (e.g. VisionTransformer(pipeline=True)) stores its
+    block stack as one `blocks` subtree with leaves [depth, ...]
+    (stage-major), so P('pp') on dim 0 gives each stage's devices
+    exactly their layers — params, optimizer moments, and EMA copies
+    alike (all mirror trees, matched here by path). Everything else
+    (embed/head params, BN-style state, step, rng) replicates; the
+    GPipe shard_map's in_spec P('pp') then consumes the stacked leaves
+    with no resharding. Composes with dp only (Engine enforces this).
+    """
+    from .mesh import PP_AXIS
+
+    repl = NamedSharding(mesh, P())
+    pp_shard = NamedSharding(mesh, P(PP_AXIS))
+
+    def place(path, leaf):
+        in_blocks = any("blocks" in str(getattr(k, "key", k)) for k in path)
+        if in_blocks and np.ndim(leaf) >= 1 and np.shape(leaf)[0] % pp == 0:
+            return pp_shard
+        return repl
+
+    shardings = jax.tree_util.tree_map_with_path(place, state)
+    return jax.device_put(state, shardings), shardings
+
+
 def shard_train_state(state, mesh: Mesh, tp_rules=None, use_fsdp: bool = True):
     """Compute a TrainState-of-shardings and device_put the state.
 

@@ -160,13 +160,12 @@ class Engine:
         pp_degree = _degree("pipeline_parallel", "pp_degree", "pipeline")
         self.mesh = dist.init_dist_env(dp=-1, fsdp=fsdp_degree, tp=mp_degree,
                                        pp=pp_degree)
-        if pp_degree > 1:
-            # the pp mesh axis exists for models that call
-            # distributed/pipeline.py explicitly; the generic jitted step
-            # does not auto-partition layers across it
-            logger.warning(f"pp_degree={pp_degree}: pp mesh axis created; "
-                           f"use distributed.pipeline for stage scheduling "
-                           f"(no automatic layer partitioning)")
+        if pp_degree > 1 and (fsdp_degree > 1 or mp_degree > 1):
+            raise ValueError(
+                "pipeline_parallel composes with dp only for now — set "
+                "sharding/tensor_parallel degree to 1 when pp_degree > 1 "
+                "(docs/parallelism.md)")
+        self.pp_degree = pp_degree
         self.recompute_cfg = ds.get("recompute", None)
 
         # ---- bookkeeping / logging
@@ -244,13 +243,32 @@ class Engine:
         if self.recompute_cfg and "remat" not in model_cfg:
             # DistributedStrategy.recompute → jax.checkpoint on blocks
             model_cfg["remat"] = True
+        if self.pp_degree > 1 and "pipeline" not in model_cfg:
+            # pp_degree > 1 turns on the model's GPipe block path (stacked
+            # block params scheduled over the pp axis). Models without a
+            # `pipeline` field fall through to the warning below.
+            model_cfg["pipeline"] = True
         try:
             self.model = build_model(model_cfg)
         except TypeError:
-            if model_cfg.pop("remat", None) is None:
+            retried = False
+            if model_cfg.pop("remat", None) is not None:
+                logger.warning(f"model {name} does not support remat; recompute ignored")
+                retried = True
+            if self.pp_degree > 1 and model_cfg.pop("pipeline", None) is not None:
+                logger.warning(
+                    f"pp_degree={self.pp_degree}: model {name} has no pipeline "
+                    f"support — pp mesh axis created but layers are NOT "
+                    f"partitioned (use a ViT variant or distributed.pipeline "
+                    f"directly)")
+                retried = True
+            if not retried:
                 raise
-            logger.warning(f"model {name} does not support remat; recompute ignored")
             self.model = build_model(model_cfg)
+        if self.pp_degree > 1 and getattr(self.model, "pipeline", False):
+            logger.info(f"pipeline parallelism: pp={self.pp_degree}, "
+                        f"{getattr(self.model, 'num_microbatches', '?')} "
+                        f"microbatches (GPipe over the pp mesh axis)")
 
         # ---- init variables (jitted: one XLA program instead of
         # op-by-op dispatch — critical on tunneled platforms)
@@ -418,6 +436,13 @@ class Engine:
             )
             logger.info(f"sharded train state over mesh {dict(self.mesh.shape)} "
                         f"(fsdp={fsdp_degree}, tp={mp_degree})")
+        elif self.pp_degree > 1 and getattr(self.model, "pipeline", False):
+            from ..distributed.sharding import pipeline_state_shardings
+
+            self.state, self.state_shardings = pipeline_state_shardings(
+                state, self.mesh, self.pp_degree)
+            logger.info(f"placed stacked block params/moments/EMA on the pp "
+                        f"axis (pp={self.pp_degree})")
         else:
             self.state = jax.device_put(state, NamedSharding(self.mesh, P()))
 
