@@ -53,6 +53,20 @@ class MoCoV3ViT(nn.Module):
     softmax_dtype: Any = "float32"  # attention-score precision (nn.layers.Attention)
     attn_impl: str = "einsum"  # "einsum" | "flash" | "auto" (ops.attention)
     dtype: Any = jnp.float32
+    # SSL x MoE composition (beyond reference — PASSL has no MoE): with
+    # num_experts > 0 every moe_interval-th block swaps its dense MLP for
+    # a routed expert mixture (models/vit_moe.BlockMoE), making this the
+    # V-MoE backbone for MoCo v3 pretraining. Expert weights land on the
+    # declarative MOE_SHARD_RULES path (distributed/sharding.py) since
+    # the param names are the same (blocks_i/moe/{router,w1,b1,w2,b2}).
+    # In training the router's load-balance loss must reach the
+    # objective, so the train=True return becomes {"features", **aux}.
+    num_experts: int = 0
+    moe_interval: int = 2
+    moe_k: int = 2
+    capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
+    moe_group_size: int = 256
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -68,13 +82,33 @@ class MoCoV3ViT(nn.Module):
         cls_token = self.param("cls_token", tinit.normal_(std=1e-6), (1, 1, self.embed_dim), jnp.float32)
         cls = jnp.broadcast_to(cls_token.astype(x.dtype), (n, 1, self.embed_dim))
         x = jnp.concatenate([cls, x], axis=1) + pos.astype(x.dtype)
+        aux_losses, balances = [], []
         for i in range(self.depth):
-            x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
-                      dtype=self.dtype, softmax_dtype=self.softmax_dtype,
-                      attn_impl=self.attn_impl,
-                      name=f"blocks_{i}")(x, deterministic=not train)
+            if self.num_experts and i % self.moe_interval == self.moe_interval - 1:
+                from .vit_moe import BlockMoE
+
+                x, aux = BlockMoE(
+                    num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                    qkv_bias=True, num_experts=self.num_experts,
+                    moe_k=self.moe_k, capacity_factor=self.capacity_factor,
+                    aux_weight=self.moe_aux_weight,
+                    group_size=self.moe_group_size, dtype=self.dtype,
+                    softmax_dtype=self.softmax_dtype, attn_impl=self.attn_impl,
+                    name=f"blocks_{i}")(x, deterministic=not train)
+                aux_losses.append(sum(v for k, v in aux.items() if "loss" in k))
+                balances.append(aux["moe_balance"])
+            else:
+                x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio, qkv_bias=True,
+                          dtype=self.dtype, softmax_dtype=self.softmax_dtype,
+                          attn_impl=self.attn_impl,
+                          name=f"blocks_{i}")(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        return x[:, 0]
+        feats = x[:, 0]
+        if self.num_experts and train:
+            return {"features": feats,
+                    "moe_aux_loss": sum(aux_losses),
+                    "moe_balance": sum(balances) / max(len(balances), 1)}
+        return feats
 
 
 class _MLPHead(nn.Module):
@@ -116,10 +150,14 @@ class _Tower(nn.Module):
     def __call__(self, x, train: bool = True, run_predictor: bool = True):
         enc = MoCoV3ViT(dtype=self.dtype, name="encoder", **dict(self.encoder_cfg))
         feats = enc(x, train=train)
+        aux = None
+        if isinstance(feats, dict):  # MoE encoder: router aux rides along
+            aux = {k: v for k, v in feats.items() if k != "features"}
+            feats = feats["features"]
         z = _MLPHead(3, self.mlp_dim, self.dim, dtype=self.dtype, name="head")(feats, train=train)
         if self.with_predictor and run_predictor:
             z = _MLPHead(2, self.mlp_dim, self.dim, dtype=self.dtype, name="predictor")(z, train=train)
-        return z
+        return (z, aux) if aux is not None else z
 
 
 @register_model
@@ -134,6 +172,14 @@ class MoCoV3Pretrain(Model):
     def ema_map(self):
         return [("base", "momentum", {"momentum": self.base_momentum, "schedule": "cosine"})]
 
+    def optimizer_overrides(self):
+        # stacked expert biases are 2-D [E, h]/[E, d] (MoE encoder), so
+        # the ndim<=1 one_dim_param_no_weight_decay exemption misses
+        # them; restore bias semantics (same as VisionTransformerMoE)
+        if (self.encoder or {}).get("num_experts"):
+            return [{"name": r"moe/(b1|b2)$", "weight_decay": 0.0}]
+        return []
+
     @staticmethod
     def frozen_patterns():
         return [r"^momentum/"]
@@ -144,16 +190,19 @@ class MoCoV3Pretrain(Model):
         base = _Tower(self.encoder, self.dim, self.mlp_dim, True, self.dtype, name="base")
         momentum = _Tower(self.encoder, self.dim, self.mlp_dim, True, self.dtype, name="momentum")
 
-        q1 = base(x1, train=train)
-        q2 = base(x2, train=train)
+        def _unpack(o):
+            return o if isinstance(o, tuple) else (o, None)
+
+        q1, aux1 = _unpack(base(x1, train=train))
+        q2, aux2 = _unpack(base(x2, train=train))
         # keys = momentum backbone+projector output — the predictor is
         # base-only (reference tasks/ssl/mocov3/builder_moco.py, the
         # canonical entry point: momentum encoder wraps only the base
         # encoder, no predictor; note reference passl/models/mocov3.py:133-134
         # DISAGREES — it EMAs Sequential(encoder, predictor) — so parity
         # comparisons against that file's checkpoints/losses will differ)
-        k1 = jax.lax.stop_gradient(momentum(x1, train=train, run_predictor=False))
-        k2 = jax.lax.stop_gradient(momentum(x2, train=train, run_predictor=False))
+        k1 = jax.lax.stop_gradient(_unpack(momentum(x1, train=train, run_predictor=False))[0])
+        k2 = jax.lax.stop_gradient(_unpack(momentum(x2, train=train, run_predictor=False))[0])
 
         def ctr(q, k):
             q = l2_normalize(q.astype(jnp.float32), axis=1)
@@ -169,7 +218,16 @@ class MoCoV3Pretrain(Model):
         acc = jnp.mean((jnp.argmax(jnp.einsum(
             "nc,mc->nm", l2_normalize(q1.astype(jnp.float32), 1),
             l2_normalize(k2.astype(jnp.float32), 1)), axis=1) == jnp.arange(q1.shape[0])).astype(jnp.float32))
-        return {"loss": loss, "acc1": acc}
+        out = {"loss": loss, "acc1": acc}
+        if aux1 is not None:
+            # router load-balance loss from the two base-tower forwards
+            # (momentum tower is stop-grad, its routers don't train).
+            # Added INTO "loss" so the logged loss equals the optimized
+            # objective (engine/steps._total_loss takes out["loss"]
+            # verbatim when present — golden CI invariant).
+            out["loss"] = loss + 0.5 * (aux1["moe_aux_loss"] + aux2["moe_aux_loss"])
+            out["moe_balance"] = 0.5 * (aux1["moe_balance"] + aux2["moe_balance"])
+        return out
 
 
 @register_model

@@ -152,6 +152,16 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     pack: int = 1
+    # lane padding: round the attention sequence up to a multiple of this
+    # (canonically 128, the TPU vector-lane width / MXU edge) by zero-
+    # padding q/k/v AFTER the qkv projection and masking padded keys at
+    # -100 (exactly the reference's shift-mask constant, so softmax is
+    # numerically identical — exp(-100) flushes against the real
+    # denominator). The packed win_pack=2 sequence is 98, a poor lane
+    # fit; 98→128 trades +30% score flops for aligned tiles, the same
+    # trade the ViT micro experiment measured as a win at 197→256
+    # (docs/benchmarks.md Micro table). 0 = off.
+    lane_pad: int = 0
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
     attn_impl: str = "einsum"
@@ -190,16 +200,31 @@ class WindowAttention(nn.Module):
                 interpret=self.attn_interpret)
             out = out.transpose(0, 2, 1, 3).reshape(b, lg, c)
         else:
+            lp = lg
+            if self.lane_pad and lg % self.lane_pad:
+                lp = ((lg + self.lane_pad - 1) // self.lane_pad) * self.lane_pad
+                pad = lp - lg
+                q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                # padded keys die in the bias (-100, the shift-mask
+                # constant); padded query rows are sliced away below
+                bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+                bias = bias - jnp.where(jnp.arange(lp) >= lg, 100.0,
+                                        0.0)[None, None, :]
+                if mask is not None:
+                    mask = np.pad(np.asarray(mask),
+                                  ((0, 0), (0, pad), (0, pad)))
             attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=acc)
             attn = attn + bias[None].astype(acc)
             if mask is not None:
                 nw = mask.shape[0]
                 m = jnp.asarray(mask)
-                attn = attn.reshape(b // nw, nw, h, lg, lg) + m[None, :, None, :, :].astype(acc)
-                attn = attn.reshape(b, h, lg, lg)
+                attn = attn.reshape(b // nw, nw, h, lp, lp) + m[None, :, None, :, :].astype(acc)
+                attn = attn.reshape(b, h, lp, lp)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lg, c)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)[:, :lg].reshape(b, lg, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=tinit.trunc_normal_(std=0.02), name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
@@ -216,6 +241,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     win_pack: int = 2
+    lane_pad: int = 0
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
     attn_impl: str = "einsum"
@@ -246,6 +272,7 @@ class SwinBlock(nn.Module):
         mask = _packed_attn_mask(hres, wres, ws, shift, g)
         attn_out = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
                                    self.attn_drop, self.drop, pack=g,
+                                   lane_pad=self.lane_pad,
                                    dtype=self.dtype, softmax_dtype=self.softmax_dtype,
                                    attn_impl=self.attn_impl,
                                    attn_interpret=self.attn_interpret,
@@ -297,6 +324,7 @@ class SwinTransformer(Model):
     patch_norm: bool = True
     num_classes: int = 1000
     win_pack: int = 2
+    lane_pad: int = 0  # round attn sequence up to this multiple (128 = TPU lanes)
     softmax_dtype: Any = "float32"
     attn_impl: str = "einsum"  # "einsum" | "fused" (pallas) | "auto"
     attn_interpret: bool = False  # pallas interpret mode (CPU tests)
@@ -343,6 +371,7 @@ class SwinTransformer(Model):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path=float(dpr[cur]), win_pack=self.win_pack,
+                    lane_pad=self.lane_pad,
                     dtype=self.dtype, softmax_dtype=softmax_dtype,
                     attn_impl=self.attn_impl, attn_interpret=self.attn_interpret,
                     name=f"layers_{i}_blocks_{j}",

@@ -47,6 +47,7 @@ class BlockMoE(nn.Module):
     aux_weight: float = 0.01
     z_weight: float = 0.0
     group_size: int = 256
+    attn_impl: str = "einsum"
     dtype: Dtype = jnp.float32
     softmax_dtype: Dtype = jnp.float32
 
@@ -61,6 +62,7 @@ class BlockMoE(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             softmax_dtype=self.softmax_dtype,
+            attn_impl=self.attn_impl,
             name="attn",
         )(y, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)

@@ -15,6 +15,8 @@ case "$METHOD" in
   swav)   CFG=tests/e2e/swav_structured.yaml;   PREFIX=backbone ;;
   mocov3) CFG=tests/e2e/mocov3_structured.yaml; PREFIX=base/encoder
           PROBE_CFG=tests/e2e/probe_mocov3_structured.yaml; RENAME=encoder ;;
+  mocov3_moe) CFG=tests/e2e/mocov3_moe_structured.yaml; PREFIX=base/encoder
+          PROBE_CFG=tests/e2e/probe_mocov3_moe_structured.yaml; RENAME=encoder ;;
   dino)   CFG=tests/e2e/dino_structured.yaml; PREFIX=student/backbone
           PROBE_CFG=tests/e2e/probe_dino_structured.yaml; RENAME=encoder ;;
   mae)    CFG=tests/e2e/mae_structured.yaml; PREFIX=__mae__
@@ -92,7 +94,15 @@ PYEOF
 fi
 
 python -m passl_tpu.tools.train -c "$CFG" \
-  -o Global.output_dir="$OUT/pretrain"
+  -o Global.output_dir="$OUT/pretrain" | tee "$OUT/pretrain.log"
+
+if [ "$METHOD" = "mocov3_moe" ]; then
+  # SSL x MoE composition: besides the probe bar below, the router must
+  # not collapse (balance = E*sum(f*P); 1.0 balanced, E when collapsed)
+  bal=$(grep -oE "moe_balance: [0-9.]+" "$OUT/pretrain.log" | tail -1 | awk '{print $2}')
+  echo "router balance after SSL pretrain: $bal (1.0 = balanced, bar < 1.5)"
+  python -c "import sys; sys.exit(0 if float('$bal') < 1.5 else 1)"
+fi
 
 if [ "$PREFIX" = "__clip__" ]; then
   # CLIP is validated by held-out text->image retrieval, not a linear

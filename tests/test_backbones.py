@@ -100,6 +100,33 @@ def test_swin_packed_window_attention_matches_unpacked(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
 
 
+def test_swin_lane_pad_matches_unpadded(rng):
+    """lane_pad (q/k/v zero-padded to a lane multiple, padded keys masked
+    at -100) must reproduce the unpadded computation with the same
+    params — forward AND gradients, incl. shifted blocks."""
+    cfg = {"name": "SwinTransformer", "img_size": 32, "patch_size": 4, "embed_dim": 32,
+           "depths": (2, 2), "num_heads": (2, 4), "window_size": 4, "num_classes": 10,
+           "drop_path_rate": 0.0, "win_pack": 2}
+    m1 = build_model(dict(cfg))
+    m2 = build_model(dict(cfg, lane_pad=48))  # 2*16=32-token seq -> 48: real padding
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    variables = jax.jit(functools.partial(m1.init, train=False))({"params": rng}, x)
+    o1 = jax.jit(functools.partial(m1.apply, train=False))(variables, x)
+    o2 = jax.jit(functools.partial(m2.apply, train=False))(variables, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(jnp.sin(m.apply({"params": p}, x, train=False)))
+        return f
+
+    g1 = jax.jit(jax.grad(loss(m1)))(variables["params"])
+    g2 = jax.jit(jax.grad(loss(m2)))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=5e-5, atol=5e-5), g1, g2)
+
+
 def test_swin_and_vit_remat_policies_match_no_remat(rng):
     """remat/remat_policy must not change outputs or gradients."""
     cfg = {"name": "SwinTransformer", "img_size": 32, "patch_size": 4, "embed_dim": 32,

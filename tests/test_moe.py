@@ -249,3 +249,55 @@ def test_vit_moe_sharded_train_step():
     state, metrics = step(state, (xb, yb))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["moe_aux_loss"]))
+
+
+def test_mocov3_moe_composition():
+    """SSL x MoE: MoCo v3 over a V-MoE backbone (models/mocov3.MoCoV3ViT
+    with num_experts > 0). The router aux loss must join the objective
+    through the base towers only (momentum tower is stop-grad), and the
+    eval path must return plain features for the linear probe."""
+    from passl_tpu.models import build_model
+
+    enc = {"img_size": 32, "patch_size": 8, "embed_dim": 64, "depth": 2,
+           "num_heads": 4, "num_experts": 4, "moe_interval": 2}
+    m = build_model({"name": "MoCoV3Pretrain", "encoder": enc,
+                     "dim": 32, "mlp_dim": 64})
+    rng = jax.random.PRNGKey(0)
+    r = np.random.RandomState(3)
+    batch = {"view1": jnp.asarray(r.rand(8, 32, 32, 3), jnp.float32),
+             "view2": jnp.asarray(r.rand(8, 32, 32, 3), jnp.float32)}
+    variables = m.init({"params": rng, "dropout": rng}, batch, train=True)
+    # odd blocks are MoE in both towers
+    assert "moe" in variables["params"]["base"]["encoder"]["blocks_1"]
+    assert "moe" in variables["params"]["momentum"]["encoder"]["blocks_1"]
+    assert "mlp" in variables["params"]["base"]["encoder"]["blocks_0"]
+
+    out, _ = m.apply(variables, batch, train=True, mutable=["batch_stats"],
+                     rngs={"dropout": rng})
+    assert {"loss", "acc1", "moe_balance"} <= set(out)
+    assert np.isfinite(float(out["loss"]))
+
+    # loss includes the router aux term: base-tower routers get gradient,
+    # the stop-grad momentum-tower routers do not
+    def loss_fn(p):
+        o, _ = m.apply({**variables, "params": p}, batch, train=True,
+                       mutable=["batch_stats"], rngs={"dropout": rng})
+        return o["loss"]
+
+    g = jax.grad(loss_fn)(variables["params"])
+    g_base = g["base"]["encoder"]["blocks_1"]["moe"]["router"]
+    g_mom = g["momentum"]["encoder"]["blocks_1"]["moe"]["router"]
+    assert float(jnp.linalg.norm(g_base)) > 0.0
+    assert float(jnp.linalg.norm(g_mom)) == 0.0
+
+    # 2-D expert biases get the wd=0 override the 1-D exemption misses
+    assert m.optimizer_overrides() == [{"name": r"moe/(b1|b2)$",
+                                        "weight_decay": 0.0}]
+
+    # probe path: eval-mode encoder returns a plain feature tensor
+    from passl_tpu.models.mocov3 import MoCoV3ViT
+
+    ev = MoCoV3ViT(**enc)
+    v2 = ev.init({"params": rng}, batch["view1"], train=False)
+    feats = ev.apply(v2, batch["view1"], train=False)
+    assert feats.shape == (8, 64)
