@@ -248,12 +248,21 @@ def main():
             print(line + f"  [{time.time() - t:.0f}s]", flush=True)
 
     if args.pad:
-        print("\n== lane-pad A/B on the clone (ABAB) ==", flush=True)
+        # Measured 2026-08-19: the FUSED kernel cannot be lane-padded —
+        # at L=256 its scores block hits a compile-time VMEM stack OOM
+        # (17.58M > 16.00M scoped limit; the [q,k] tile doubles its k
+        # width 196->256 and no longer fits next to the f32 mix
+        # accumulators). Padding the production path would need a
+        # q-gridded re-block of talking_heads.py. So the A/B isolates
+        # the underlying question — does 196->256 score-chain padding
+        # pay at all on TPU? — on the XLA einsum chain (plain_attn
+        # clone), which compiles at both lengths.
+        print("\n== lane-pad A/B on the plain-attn clone (ABAB) ==", flush=True)
         for rep in range(2):
             for name, lp in (("pad0", 0), ("pad256", 128)):  # 196 -> 256
-                ms_p, ips_p = time_model(build_clone("full", lane_pad=lp))
-                print(f"[rep{rep}] {name}: {ms_p:.2f} ms  {ips_p:.1f} imgs/s",
-                      flush=True)
+                ms_p, ips_p = time_model(build_clone("plain_attn", lane_pad=lp))
+                print(f"[rep{rep}] plain_attn {name}: {ms_p:.2f} ms  "
+                      f"{ips_p:.1f} imgs/s", flush=True)
 
 
 if __name__ == "__main__":
