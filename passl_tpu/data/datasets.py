@@ -370,3 +370,42 @@ class StructuredTextImageDataset(StructuredSyntheticDataset):
 
 
 DATASETS["StructuredTextImageDataset"] = StructuredTextImageDataset
+
+
+class SklearnDigits(Dataset):
+    """UCI optical handwritten digits via `sklearn.datasets.load_digits`
+    (1797 real 8x8 scans, 10 classes) — the only REAL image dataset
+    shipped inside this rig's installed packages (no egress, no
+    mounts), so it serves as the framework's first real-data accuracy
+    point (reference counterpart in spirit:
+    configs/simclr/simclr_r18_cifar10.yaml — the reference's own
+    smallest real-data recipe). Deterministic class-stratified
+    train/test split via a fixed permutation seed; 0..16 ints are
+    rescaled to 0..255 uint8 grayscale replicated to RGB so the
+    standard transform stack applies unchanged."""
+
+    def __init__(self, mode: str = "train", holdout: int = 297, split_seed: int = 0,
+                 transform=None, with_label: bool = True):
+        from sklearn.datasets import load_digits
+
+        d = load_digits()
+        imgs = np.clip(d.images * (255.0 / 16.0), 0, 255).astype(np.uint8)
+        perm = np.random.RandomState(split_seed).permutation(len(imgs))
+        sel = perm[holdout:] if mode == "train" else perm[:holdout]
+        self.data = imgs[sel]
+        self.labels = d.target[sel].astype(np.int64)
+        self.transform = build_transform(transform)
+        self.with_label = with_label
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        img = Image.fromarray(self.data[idx]).convert("RGB")
+        img = self.transform(img)
+        return (img, int(self.labels[idx])) if self.with_label else img
+
+
+DATASETS["SklearnDigits"] = SklearnDigits

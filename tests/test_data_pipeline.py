@@ -375,3 +375,32 @@ def test_batch_transform_deterministic():
         a.append([np.asarray(b[1]) for b in dl])
     for x, y in zip(a[0], a[1]):
         np.testing.assert_array_equal(x, y)
+
+
+def test_sklearn_digits_real_dataset():
+    """SklearnDigits: the rig's only REAL image dataset (UCI scanned
+    digits via sklearn). Split must be deterministic, disjoint, and
+    label-complete; items must flow through the standard transform
+    stack (reference-in-spirit: configs/simclr/simclr_r18_cifar10.yaml,
+    the reference's smallest real-data recipe)."""
+    from passl_tpu.data.datasets import SklearnDigits
+
+    tr = SklearnDigits(mode="train")
+    te = SklearnDigits(mode="test")
+    assert len(tr) + len(te) == 1797 and len(te) == 297
+    # disjoint + deterministic: re-instantiation yields identical splits
+    tr2 = SklearnDigits(mode="train")
+    np.testing.assert_array_equal(tr.labels, tr2.labels)
+    np.testing.assert_array_equal(tr.data[0], tr2.data[0])
+    key = lambda d: {d.data[i].tobytes() for i in range(len(d))}
+    assert not (key(tr) & key(te))
+    # every class present in both splits
+    assert set(tr.labels) == set(range(10)) == set(te.labels)
+    # transform stack applies: uint8 8x8 gray -> normalized 32x32x3
+    ds = SklearnDigits(mode="test", transform=[
+        {"Resize": {"size": 32}},
+        {"NormalizeImage": {"scale": 1 / 255.0, "mean": [0.5] * 3, "std": [0.25] * 3}},
+    ])
+    img, lab = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.float32
+    assert 0 <= lab < 10

@@ -106,13 +106,35 @@ def test_pixpro_transform_yields_coords():
 
     from passl_tpu.data.transforms import PixProTwoViewsTransform
 
+    img = Image.fromarray(np.random.RandomState(0).randint(0, 256, (64, 64, 3), np.uint8))
+    # flip_prob pinned both ways: the default 0.5 draws from the global
+    # `random` module, which made this test a coin flip (flipped crops
+    # INTENTIONALLY carry x1 > x2 — the reversed interval is how the
+    # mirror reaches pixpro_regression_loss's cell-center grid)
     t = PixProTwoViewsTransform(
         crop={"size": 16, "scale": (0.5, 1.0)},
         post_transform1=[{"NormalizeImage": {"scale": 0.00392157}}],
+        flip_prob=0.0,
     )
-    img = Image.fromarray(np.random.RandomState(0).randint(0, 256, (64, 64, 3), np.uint8))
     out = t(img)
     assert set(out) == {"view1", "view2", "coord1", "coord2"}
     assert out["view1"].shape == (16, 16, 3)
     x1, y1, x2, y2 = out["coord1"]
     assert 0 <= x1 < x2 <= 64 and 0 <= y1 < y2 <= 64
+
+    t_flip = PixProTwoViewsTransform(
+        crop={"size": 16, "scale": (0.5, 1.0)},
+        post_transform1=[{"NormalizeImage": {"scale": 0.00392157}}],
+        flip_prob=1.0,
+    )
+    fout = t_flip(img)
+    fx1, fy1, fx2, fy2 = fout["coord1"]
+    assert fx1 > fx2 and 0 <= fy1 < fy2 <= 64  # swapped x encodes the flip
+    # and the flipped view really is mirrored: with a FIXED crop box,
+    # flipping the flipped view back reproduces the unflipped crop
+    fixed = np.asarray(img)[8:24, 4:20]
+    fixed_crop = lambda _: (fixed, np.asarray([4, 8, 20, 24], np.float32))
+    t_fix = PixProTwoViewsTransform(crop=fixed_crop, post_transform1=[], flip_prob=1.0)
+    vf, cf = t_fix._crop_flip(img)
+    np.testing.assert_array_equal(cf, [20, 8, 4, 24])
+    np.testing.assert_array_equal(np.asarray(vf)[:, ::-1], fixed)
