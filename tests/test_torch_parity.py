@@ -87,6 +87,10 @@ def test_trunc_normal_matches_torch_stats():
     k = jax.random.PRNGKey(0)
     ours = np.asarray(tinit.trunc_normal_(std=0.02)(k, (200, 200)))
     t = torch.empty(200, 200)
+    # seed torch's GLOBAL rng: unseeded, the min-comparison below is an
+    # extreme-order statistic whose tail variance made this test flip
+    # depending on which tests ran before it in the same process
+    torch.manual_seed(0)
     torch.nn.init.trunc_normal_(t, std=0.02)
     theirs = t.numpy()
     assert abs(ours.std() - theirs.std()) < 1e-3
@@ -104,5 +108,6 @@ def test_kaiming_fan_out_matches_torch_stats():
     k = jax.random.PRNGKey(0)
     ours = np.asarray(tinit.kaiming_normal_(mode="fan_out", nonlinearity="relu")(k, (3, 3, 16, 64)))
     t = torch.empty(64, 16, 3, 3)
+    torch.manual_seed(0)
     torch.nn.init.kaiming_normal_(t, mode="fan_out", nonlinearity="relu")
     assert abs(ours.std() - t.numpy().std()) < 5e-3
