@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # End-to-end LEARNING check: SSL pretrain on structured synthetic data
-# must produce a representation whose linear probe beats chance by a
-# wide margin. Validates aug → SSL loss → optimizer → EMA → extract →
-# probe as a learning system (not just "runs without NaN").
+# (or, for simclr_digits, REAL scanned UCI digits) must produce a
+# representation whose linear probe beats chance by a wide margin.
+# Validates aug → SSL loss → optimizer → EMA → extract → probe as a
+# learning system (not just "runs without NaN").
 set -euo pipefail
 cd "$(dirname "$0")/../.."
 METHOD=${1:-simclr}          # simclr | mocov2 | byol | swav | mocov3
