@@ -16,7 +16,16 @@ case "$METHOD" in
           CFG=tests/e2e/simclr_digits.yaml; PREFIX=backbone
           PROBE_CFG=tests/e2e/probe_digits.yaml; BAR=0.85 ;;
   mocov2) CFG=tests/e2e/mocov2_structured.yaml; PREFIX=encoder_q/backbone ;;
+  mocov2_digits)  # REAL data: queue + momentum encoder on scanned digits
+          CFG=tests/e2e/mocov2_digits.yaml; PREFIX=encoder_q/backbone
+          PROBE_CFG=tests/e2e/probe_digits.yaml; BAR=0.85 ;;
   byol)   CFG=tests/e2e/byol_structured.yaml;   PREFIX=online/backbone ;;
+  byol_digits)    # REAL data: EMA target tower on scanned digits
+          CFG=tests/e2e/byol_digits.yaml; PREFIX=online/backbone
+          PROBE_CFG=tests/e2e/probe_digits.yaml; BAR=0.85 ;;
+  supervised_digits)  # REAL data: plain supervised classification path
+          CFG=tests/e2e/supervised_digits.yaml; PREFIX=__supervised_plain__
+          BAR=0.93 ;;
   swav)   CFG=tests/e2e/swav_structured.yaml;   PREFIX=backbone ;;
   mocov3) CFG=tests/e2e/mocov3_structured.yaml; PREFIX=base/encoder
           PROBE_CFG=tests/e2e/probe_mocov3_structured.yaml; RENAME=encoder ;;
@@ -46,6 +55,18 @@ esac
 OUT=/tmp/passl_learning_$METHOD
 rm -rf "$OUT"
 mkdir -p "$OUT"
+
+if [ "$PREFIX" = "__supervised_plain__" ]; then
+  # plain supervised check (real data): the model IS the classifier —
+  # no extract/probe, no router to audit. PASS = held-out top1 > BAR.
+  python -m passl_tpu.tools.train -c "$CFG" \
+    -o Global.output_dir="$OUT/train" | tee "$OUT/train.log"
+  top1=$(grep -oE "top1: [0-9.]+" "$OUT/train.log" | tail -1 | awk '{print $2}')
+  echo "FINAL supervised top1: $top1 (chance = 0.10, bar = $BAR)"
+  python -c "import sys; sys.exit(0 if float('$top1') > float('$BAR') else 1)"
+  echo "LEARNING CHECK PASSED"
+  exit 0
+fi
 
 if [ "$PREFIX" = "__supervised__" ]; then
   # supervised sparse-expert check: the model IS the classifier — no
