@@ -185,10 +185,14 @@ def time_model(model, per_chip_batch=128, fwd_only=False):
     variables = jax.jit(functools.partial(model.init, train=True))(
         {"params": rng, "dropout": rng}, x0)
     params = variables["params"]
+    # non-param collections (batch_stats for conv nets; empty for ViTs)
+    # must live in the state or the compiled step's pytree diverges on
+    # the first call that returns updated stats
+    model_state = {k: v for k, v in variables.items() if k != "params"}
     criterion = build_loss([{"CELoss": {"label_smoothing": 0.1}}])
     opt = build_optimizer({"name": "AdamW", "weight_decay": 0.05,
                            "one_dim_param_no_weight_decay": True}, params)
-    state = TrainState.create(params, {}, opt.init(params), rng)
+    state = TrainState.create(params, model_state, opt.init(params), rng)
     state = jax.device_put(state, NamedSharding(mesh, P()))
     sh = NamedSharding(mesh, P(dist.DATA_AXES, None, None, None))
     rs = np.random.RandomState(0)
@@ -199,11 +203,15 @@ def time_model(model, per_chip_batch=128, fwd_only=False):
     if fwd_only:
         def fwd(state, b):
             x, y = b
-            out = model.apply({"params": state.params}, x, train=True,
+            out = model.apply({"params": state.params, **state.model_state},
+                              x, train=True,
+                              mutable=list(state.model_state.keys()) or False,
                               rngs={"dropout": jax.random.PRNGKey(1)})
-            return state, {"loss": criterion(out, y)["loss"]
-                           if isinstance(criterion(out, y), dict)
-                           else criterion(out, y)}
+            if isinstance(out, tuple):  # mutable apply -> (out, new_vars)
+                out = out[0]
+            loss = criterion(out, y)
+            return state, {"loss": loss["loss"] if isinstance(loss, dict)
+                           else loss}
 
         step = jax.jit(fwd).lower(state, (xb, yb)).compile()
     else:
